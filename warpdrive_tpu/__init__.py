@@ -1,0 +1,27 @@
+"""
+WarpDrive-TPU: an end-to-end TPU-resident multi-agent reinforcement-learning
+framework.
+
+This is a from-scratch, TPU-native re-design of the capability set of
+salesforce/warp-drive (the CUDA/PyTorch framework).  The entire RL loop --
+environment simulation, action sampling, experience batching, and policy
+training -- runs on TPU inside a single jitted program:
+
+* environments are pure functions ``step(state, actions) -> state`` on JAX
+  pytrees, vectorized across replicas with ``vmap`` (replacing per-thread CUDA
+  kernels, cf. reference ``warp_drive/cuda_includes/core/``),
+* rollouts run as a ``lax.scan`` over the training batch (replacing the
+  Python-dispatch hot loop of reference ``trainer_base.py:383-428``),
+* replicas shard across chips/hosts via ``jax.sharding`` meshes (replacing
+  torch DDP + one-process-per-GPU, cf. reference
+  ``training/utils/distributed_train/``),
+* hot kernels beyond XLA's reach are written in Pallas.
+
+Version history starts here; capability parity targets reference v2.7.1.
+"""
+
+__version__ = "0.1.0"
+
+from warpdrive_tpu.utils.constants import Constants
+from warpdrive_tpu.utils.data_feed import DataFeed
+from warpdrive_tpu.utils.env_registrar import EnvironmentRegistrar, env_registrar
