@@ -1,0 +1,153 @@
+"""
+MountainCar-v0 (discrete) environment.
+
+Dynamics follow the classic gym mountain car, matching the reference pair
+``example_envs/single_agent/classic_control/mountain_car/mountain_car.py`` +
+``mountain_car_step_numba.py:15-70``.  Notably the done flag uses the
+success marker: ``done=2`` when the goal is reached before the episode ends
+(``mountain_car_step_numba.py:68-70``), which feeds the trainer's
+negative/positive env downsampling (reference ``a2c.py:196-218``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from warpdrive_tpu.envs.base import TpuEnvironmentContext
+from warpdrive_tpu.envs.classic_control.base import (
+    SingleAgentEnv,
+    get_action_for_single_agent,
+    map_to_single_agent,
+)
+from warpdrive_tpu.utils.constants import Constants
+from warpdrive_tpu.utils.data_feed import DataFeed
+from warpdrive_tpu.utils.env_registrar import env_registrar
+from warpdrive_tpu.utils.spaces import Box, Discrete
+
+_OBS = Constants.OBSERVATIONS
+_ACTIONS = Constants.ACTIONS
+_REWARDS = Constants.REWARDS
+
+MIN_POSITION = -1.2
+MAX_POSITION = 0.6
+MAX_SPEED = 0.07
+GOAL_POSITION = 0.5
+GOAL_VELOCITY = 0.0
+FORCE = 0.001
+GRAVITY = 0.0025
+
+
+class ClassicControlMountainCarEnv(SingleAgentEnv):
+    """Numpy reference implementation (float32)."""
+
+    name = "ClassicControlMountainCarEnv"
+
+    def __init__(self, episode_length=500, env_backend="cpu", reset_pool_size=0,
+                 seed=None):
+        super().__init__(episode_length, env_backend, reset_pool_size, seed=seed)
+        self.action_space = map_to_single_agent(Discrete(3))
+        self.observation_space = map_to_single_agent(
+            Box(-np.inf, np.inf, shape=(2,), dtype=np.float32)
+        )
+        self.state = None
+
+    def _sample_initial_state(self) -> np.ndarray:
+        position = self.np_random.uniform(low=-0.6, high=-0.4)
+        return np.array([position, 0.0], dtype=np.float32)
+
+    def reset(self):
+        self.timestep = 0
+        if self.reset_pool_size < 2:
+            self.np_random = np.random.RandomState(self.seed)
+        self.state = self._sample_initial_state()
+        return map_to_single_agent(self.state.copy())
+
+    def step(self, action=None):
+        self.timestep += 1
+        action = get_action_for_single_agent(action)
+        if isinstance(action, np.ndarray):
+            action = int(action.reshape(-1)[0])
+        position, velocity = (np.float32(v) for v in self.state)
+        velocity += np.float32((action - 1) * FORCE) + np.float32(
+            np.cos(3 * position) * (-GRAVITY)
+        )
+        velocity = np.clip(velocity, -MAX_SPEED, MAX_SPEED).astype(np.float32)
+        position = np.float32(position + velocity)
+        position = np.clip(position, MIN_POSITION, MAX_POSITION).astype(np.float32)
+        if position == MIN_POSITION and velocity < 0:
+            velocity = np.float32(0.0)
+        self.state = np.array([position, velocity], dtype=np.float32)
+        terminated = bool(position >= GOAL_POSITION and velocity >= GOAL_VELOCITY)
+        obs = map_to_single_agent(self.state.copy())
+        rew = map_to_single_agent(-1.0)
+        # success marker: 2 on goal, 1 on timeout (numba kernel :64-70)
+        done = {"__all__": self.timestep >= self.episode_length or terminated}
+        return obs, rew, done, {}
+
+
+class TpuClassicControlMountainCarEnv(
+    ClassicControlMountainCarEnv, TpuEnvironmentContext
+):
+    """TPU version (pure-JAX step on the (1, 2) state array)."""
+
+    def get_data_dictionary(self) -> DataFeed:
+        data = DataFeed()
+        assert self.state is not None, "call reset() before building the feed"
+        data.add_data(
+            name="state",
+            data=np.atleast_2d(self.state),
+            save_copy_and_apply_at_reset=self.reset_pool_size < 2,
+        )
+        return data
+
+    def get_reset_pool_dictionary(self) -> DataFeed:
+        pool = DataFeed()
+        if self.reset_pool_size >= 2:
+            states = np.stack(
+                [
+                    np.atleast_2d(self._sample_initial_state())
+                    for _ in range(self.reset_pool_size)
+                ],
+                axis=0,
+            )
+            pool.add_pool_for_reset("state_reset_pool", states, reset_target="state")
+        return pool
+
+    def step_fn(self, state: dict) -> dict:
+        s = state["state"]
+        action = state[_ACTIONS][0, 0].astype(jnp.float32)
+        t = state[Constants.TIMESTEP] + 1
+
+        position, velocity = s[0, 0], s[0, 1]
+        velocity = velocity + (action - 1.0) * FORCE + jnp.cos(3.0 * position) * (
+            -GRAVITY
+        )
+        velocity = jnp.clip(velocity, -MAX_SPEED, MAX_SPEED)
+        position = jnp.clip(position + velocity, MIN_POSITION, MAX_POSITION)
+        velocity = jnp.where(
+            (position == MIN_POSITION) & (velocity < 0), 0.0, velocity
+        )
+        new_s = jnp.stack([position, velocity])[None, :]
+
+        terminated = (position >= GOAL_POSITION) & (velocity >= GOAL_VELOCITY)
+        # done=2 encodes success for selective downsampling; timeout wins
+        # ties in the reference kernel (if/elif order, :64-70)
+        done = jnp.where(
+            t >= self.episode_length,
+            1,
+            jnp.where(terminated, 2, 0),
+        ).astype(jnp.int32)
+
+        out = dict(state)
+        out["state"] = new_s
+        out[_OBS] = new_s
+        out[_REWARDS] = -jnp.ones((1,), dtype=jnp.float32)
+        out[Constants.TIMESTEP] = t
+        out[Constants.DONE] = done
+        return out
+
+
+env_registrar.add(ClassicControlMountainCarEnv, backend="cpu")
+env_registrar.add(TpuClassicControlMountainCarEnv, backend="tpu")

@@ -1,0 +1,525 @@
+"""
+TagContinuous: taggers chase runners on a continuous 2D square.
+
+Capability parity with reference
+``example_envs/tag_continuous/tag_continuous.py:28-887`` and its 521-line CUDA
+kernel (``tag_continuous_step_pycuda.cu``).  Game rules:
+
+* MultiDiscrete actions: (acceleration level, turn level), each with a no-op
+  inserted at index 0;
+* physics: ``dir' = (dir + turn) mod 2pi``, ``speed' = clip(speed + acc', 0,
+  max_speed * skill)``, acceleration zeroed at the speed bounds, positions
+  clipped to the square with an optional edge-hit penalty;
+* a runner whose nearest tagger is closer than ``tagging_distance *
+  grid_length`` is tagged: it pays ``tag_penalty_for_runner``, the nearest
+  tagger earns ``tag_reward_for_tagger``, and (optionally) the runner exits
+  the game (``still_in_the_game`` -> 0);
+* observations are either full (relative normalized state of every other
+  agent) or the k-nearest-neighbor subset
+  (``num_other_agents_observed``);
+* episode ends at ``episode_length`` or when no runners remain.
+
+TPU design notes: the CUDA kernel's O(N^2) per-thread neighbor scans with
+multi-block ``__sync_env_threads`` barriers (``tag_continuous_step_pycuda.cu:
+295-468``) become one batched pairwise-distance matrix + ``lax.top_k`` --
+MXU/VPU-friendly and free of any synchronization.  >1024 agents needs no
+multi-block machinery: the agent axis is just a bigger array dimension.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+from jax import lax
+
+from warpdrive_tpu.envs.base import TpuEnvironmentContext
+from warpdrive_tpu.utils.constants import Constants
+from warpdrive_tpu.utils.data_feed import DataFeed
+from warpdrive_tpu.utils.env_registrar import env_registrar
+from warpdrive_tpu.utils.spaces import MultiDiscrete
+
+_OBS = Constants.OBSERVATIONS
+_ACTIONS = Constants.ACTIONS
+_REWARDS = Constants.REWARDS
+
+_EPS = np.float32(1e-10)
+_BIG = np.float32(1e20)
+
+
+class TagContinuous:
+    """Numpy reference implementation (vectorized, float32)."""
+
+    name = "TagContinuous"
+
+    def __init__(
+        self,
+        num_taggers=1,
+        num_runners=10,
+        grid_length=10.0,
+        episode_length=100,
+        starting_location_x=None,
+        starting_location_y=None,
+        starting_directions=None,
+        seed=None,
+        max_speed=1.0,
+        skill_level_runner=1.0,
+        skill_level_tagger=1.0,
+        max_acceleration=1.0,
+        min_acceleration=-1.0,
+        max_turn=np.pi / 2,
+        min_turn=-np.pi / 2,
+        num_acceleration_levels=10,
+        num_turn_levels=10,
+        edge_hit_penalty=-0.0,
+        use_full_observation=True,
+        num_other_agents_observed=2,
+        tagging_distance=0.01,
+        tag_reward_for_tagger=1.0,
+        step_penalty_for_tagger=-0.0,
+        tag_penalty_for_runner=-1.0,
+        step_reward_for_runner=0.0,
+        end_of_game_reward_for_runner=1.0,
+        runner_exits_game_after_tagged=True,
+        env_backend="cpu",
+    ):
+        assert num_taggers > 0 and num_runners > 0 and episode_length > 0
+        self.num_taggers = int(num_taggers)
+        self.num_runners_initial = int(num_runners)
+        self.num_agents = self.num_taggers + self.num_runners_initial
+        self.episode_length = int(episode_length)
+        self.grid_length = np.float32(grid_length)
+        self.grid_diagonal = np.float32(self.grid_length * np.sqrt(2))
+        assert edge_hit_penalty <= 0
+        self.edge_hit_penalty = np.float32(edge_hit_penalty)
+
+        self.np_random = np.random.RandomState(seed)
+
+        # tagger ids drawn first (RNG order matches reference :158-160)
+        taggers = self.np_random.choice(
+            np.arange(self.num_agents), self.num_taggers, replace=False
+        )
+        tagger_set = set(int(t) for t in taggers)
+        # agent types: 1 = tagger, 0 = runner (note: OPPOSITE of gridworld)
+        self.agent_type = {
+            aid: (1 if aid in tagger_set else 0) for aid in range(self.num_agents)
+        }
+        self.agent_types = np.array(
+            [self.agent_type[a] for a in range(self.num_agents)], dtype=np.int32
+        )
+        self.is_tagger = self.agent_types == 1
+        self.is_runner = ~self.is_tagger
+
+        if starting_location_x is None:
+            assert starting_location_y is None
+            starting_location_x = self.grid_length * self.np_random.rand(
+                self.num_agents
+            )
+            starting_location_y = self.grid_length * self.np_random.rand(
+                self.num_agents
+            )
+        self.starting_location_x = np.asarray(
+            starting_location_x, dtype=np.float32
+        )
+        self.starting_location_y = np.asarray(
+            starting_location_y, dtype=np.float32
+        )
+
+        if starting_directions is None:
+            starting_directions = self.np_random.choice(
+                [0, np.pi / 2, np.pi, np.pi * 3 / 2], self.num_agents, replace=True
+            )
+        self.starting_directions = np.asarray(starting_directions, dtype=np.float32)
+
+        self.max_speed = np.float32(max_speed)
+        assert num_acceleration_levels >= 0 and num_turn_levels >= 0
+        self.num_acceleration_levels = int(num_acceleration_levels)
+        self.num_turn_levels = int(num_turn_levels)
+        # level 0 is the no-op (reference :219-232)
+        self.acceleration_actions = np.insert(
+            np.linspace(
+                np.float32(min_acceleration),
+                np.float32(max_acceleration),
+                self.num_acceleration_levels,
+            ),
+            0,
+            0,
+        ).astype(np.float32)
+        self.turn_actions = np.insert(
+            np.linspace(
+                np.float32(min_turn), np.float32(max_turn), self.num_turn_levels
+            ),
+            0,
+            0,
+        ).astype(np.float32)
+
+        self.skill_levels = np.where(
+            self.is_tagger,
+            np.float32(skill_level_tagger),
+            np.float32(skill_level_runner),
+        ).astype(np.float32)
+
+        self.runner_exits_game_after_tagged = bool(runner_exits_game_after_tagged)
+        self.use_full_observation = bool(use_full_observation)
+        assert num_other_agents_observed <= self.num_agents
+        self.num_other_agents_observed = int(num_other_agents_observed)
+
+        assert 0 <= tagging_distance <= 1
+        self.distance_margin_for_reward = np.float32(
+            tagging_distance * self.grid_length
+        )
+        assert tag_reward_for_tagger >= 0 and step_penalty_for_tagger <= 0
+        assert tag_penalty_for_runner <= 0 and step_reward_for_runner >= 0
+        assert end_of_game_reward_for_runner >= 0
+        self.tag_reward_for_tagger = np.float32(tag_reward_for_tagger)
+        self.tag_penalty_for_runner = np.float32(tag_penalty_for_runner)
+        self.end_of_game_reward_for_runner = np.float32(
+            end_of_game_reward_for_runner
+        )
+        self.step_rewards = np.where(
+            self.is_tagger,
+            np.float32(step_penalty_for_tagger),
+            np.float32(step_reward_for_runner),
+        ).astype(np.float32)
+
+        self.action_space = {
+            aid: MultiDiscrete(
+                (len(self.acceleration_actions), len(self.turn_actions))
+            )
+            for aid in range(self.num_agents)
+        }
+        self.observation_space = None  # inferred by the engine
+
+        self.timestep = None
+        self.loc_x = None
+        self.loc_y = None
+        self.speed = None
+        self.direction = None
+        self.acceleration = None
+        self.still_in_the_game = None
+        self.env_backend = env_backend
+
+    # ------------------------------------------------------------ numpy path
+    @property
+    def obs_size(self) -> int:
+        k = (
+            (self.num_agents - 1)
+            if self.use_full_observation
+            else self.num_other_agents_observed
+        )
+        return 7 * k + 1
+
+    def _normalized_features(self) -> np.ndarray:
+        """(5, N) normalized global state (reference :452-470)."""
+        return np.stack(
+            [
+                self.loc_x / self.grid_diagonal,
+                self.loc_y / self.grid_diagonal,
+                self.speed / (self.max_speed + _EPS),
+                self.acceleration / (self.max_speed + _EPS),
+                self.direction / np.float32(2 * np.pi),
+            ]
+        ).astype(np.float32)
+
+    def _generate_observation(self) -> dict:
+        N = self.num_agents
+        feats = self._normalized_features()  # (5, N)
+        types = self.agent_types.astype(np.float32)
+        still = self.still_in_the_game.astype(np.float32)
+        t_norm = np.float32(self.timestep / self.episode_length)
+        obs = {}
+        if self.use_full_observation:
+            drop = [
+                [j for j in range(N) if j != i] for i in range(N)
+            ]  # self-column removal
+            for i in range(N):
+                if self.still_in_the_game[i]:
+                    rel = feats - feats[:, i : i + 1]
+                    rows = np.vstack([rel, types, still])[:, drop[i]]
+                    obs[i] = np.concatenate(
+                        [rows.reshape(-1), [t_norm]]
+                    ).astype(np.float32)
+                else:
+                    rows = np.vstack([np.zeros_like(feats), types, still])[
+                        :, drop[i]
+                    ]
+                    obs[i] = np.concatenate(
+                        [rows.reshape(-1), [np.float32(0.0)]]
+                    ).astype(np.float32)
+        else:
+            k = self.num_other_agents_observed
+            if self.timestep == 0:
+                zero = np.zeros(7 * k + 1, dtype=np.float32)
+                return {i: zero.copy() for i in range(N)}
+            dx = self.loc_x[:, None] - self.loc_x[None, :]
+            dy = self.loc_y[:, None] - self.loc_y[None, :]
+            dist = np.sqrt(dx**2 + dy**2).astype(np.float32)
+            np.fill_diagonal(dist, _BIG)
+            dist[:, self.still_in_the_game == 0] = _BIG
+            for i in range(N):
+                if not self.still_in_the_game[i]:
+                    obs[i] = np.zeros(7 * k + 1, dtype=np.float32)
+                    continue
+                order = np.argsort(dist[i], kind="stable")[:k]
+                valid = dist[i][order] < _BIG
+                nbrs = order[valid]
+                pad = k - len(nbrs)
+                rel = feats[:, nbrs] - feats[:, i : i + 1]
+                rows = np.vstack(
+                    [
+                        np.hstack([rel, np.zeros((5, pad), np.float32)]),
+                        np.hstack([types[nbrs], np.zeros(pad, np.float32)]),
+                        np.hstack([still[nbrs], np.zeros(pad, np.float32)]),
+                    ]
+                )
+                obs[i] = np.concatenate([rows.reshape(-1), [t_norm]]).astype(
+                    np.float32
+                )
+        return obs
+
+    def reset(self):
+        self.timestep = 0
+        self.loc_x = self.starting_location_x.copy()
+        self.loc_y = self.starting_location_y.copy()
+        self.speed = np.zeros(self.num_agents, dtype=np.float32)
+        self.direction = self.starting_directions.copy()
+        self.acceleration = np.zeros(self.num_agents, dtype=np.float32)
+        self.still_in_the_game = np.ones(self.num_agents, dtype=np.int32)
+        return self._generate_observation()
+
+    def step(self, actions=None):
+        self.timestep += 1
+        assert isinstance(actions, dict) and len(actions) == self.num_agents
+        acts = np.stack(
+            [np.asarray(actions[a]).reshape(-1) for a in range(self.num_agents)]
+        ).astype(np.int32)
+        delta_acc = self.acceleration_actions[acts[:, 0]]
+        delta_turn = self.turn_actions[acts[:, 1]]
+        still = self.still_in_the_game.astype(np.float32)
+
+        # physics update (reference update_state :339-401)
+        self.direction = (
+            ((self.direction + delta_turn) % np.float32(2 * np.pi)) * still
+        ).astype(np.float32)
+        acc = self.acceleration + delta_acc
+        max_speed = self.max_speed * self.skill_levels
+        self.speed = (
+            np.clip(self.speed + acc, 0.0, max_speed) * still
+        ).astype(np.float32)
+        self.acceleration = (
+            acc * (self.speed > 0) * (self.speed < max_speed)
+        ).astype(np.float32)
+
+        new_x = (self.loc_x + self.speed * np.cos(self.direction)).astype(
+            np.float32
+        )
+        new_y = (self.loc_y + self.speed * np.sin(self.direction)).astype(
+            np.float32
+        )
+        crossed = ~(
+            (new_x >= 0)
+            & (new_x <= self.grid_length)
+            & (new_y >= 0)
+            & (new_y <= self.grid_length)
+        )
+        self.loc_x = np.clip(new_x, 0.0, self.grid_length).astype(np.float32)
+        self.loc_y = np.clip(new_y, 0.0, self.grid_length).astype(np.float32)
+        edge_penalty = self.edge_hit_penalty * crossed.astype(np.float32)
+
+        # rewards (reference compute_reward :612-678)
+        rew = np.zeros(self.num_agents, dtype=np.float32)
+        alive = self.still_in_the_game > 0
+        rew[alive] += edge_penalty[alive] + self.step_rewards[alive]
+
+        dx = self.loc_x[:, None] - self.loc_x[None, :]
+        dy = self.loc_y[:, None] - self.loc_y[None, :]
+        dist = np.sqrt(dx**2 + dy**2).astype(np.float32)
+        d_rt = dist.copy()
+        d_rt[:, ~self.is_tagger] = _BIG  # columns: taggers only
+        min_d = d_rt.min(axis=1)
+        nearest_tagger = d_rt.argmin(axis=1)
+        tagged = alive & self.is_runner & (min_d < self.distance_margin_for_reward)
+
+        rew[tagged] += self.tag_penalty_for_runner
+        np.add.at(rew, nearest_tagger[tagged], self.tag_reward_for_tagger)
+        if self.runner_exits_game_after_tagged:
+            self.still_in_the_game[tagged] = 0
+
+        num_runners_alive = int(
+            (self.is_runner & (self.still_in_the_game > 0)).sum()
+        )
+        if self.timestep == self.episode_length:
+            survivors = self.is_runner & (self.still_in_the_game > 0)
+            rew[survivors] += self.end_of_game_reward_for_runner
+
+        obs = self._generate_observation()
+        rew_dict = {a: float(rew[a]) for a in range(self.num_agents)}
+        done = {
+            "__all__": self.timestep >= self.episode_length
+            or num_runners_alive == 0
+        }
+        return obs, rew_dict, done, {}
+
+
+class TpuTagContinuous(TagContinuous, TpuEnvironmentContext):
+    """TPU version: agent-vectorized pure-JAX step (pairwise-distance based)."""
+
+    def get_data_dictionary(self) -> DataFeed:
+        data = DataFeed()
+        assert self.loc_x is not None, "call reset() before building the feed"
+        for name in ("loc_x", "loc_y", "speed", "direction", "acceleration"):
+            data.add_data(name, getattr(self, name), save_copy_and_apply_at_reset=True)
+        data.add_data(
+            "still_in_the_game",
+            self.still_in_the_game,
+            save_copy_and_apply_at_reset=True,
+        )
+        return data
+
+    def step_fn(self, state: dict) -> dict:
+        N = self.num_agents
+        t = state[Constants.TIMESTEP] + 1
+        actions = state[_ACTIONS]  # (N, 2)
+        still_i = state["still_in_the_game"]
+        still = still_i.astype(jnp.float32)
+        is_tagger = jnp.asarray(self.is_tagger)
+        is_runner = jnp.asarray(self.is_runner)
+        skill = jnp.asarray(self.skill_levels)
+
+        delta_acc = jnp.asarray(self.acceleration_actions)[actions[:, 0]]
+        delta_turn = jnp.asarray(self.turn_actions)[actions[:, 1]]
+
+        # ---- physics (mirrors numpy update_state) -------------------------
+        direction = (
+            ((state["direction"] + delta_turn) % (2 * np.pi)) * still
+        ).astype(jnp.float32)
+        acc = state["acceleration"] + delta_acc
+        max_speed = self.max_speed * skill
+        speed = (jnp.clip(state["speed"] + acc, 0.0, max_speed) * still).astype(
+            jnp.float32
+        )
+        acc = acc * (speed > 0) * (speed < max_speed)
+
+        new_x = state["loc_x"] + speed * jnp.cos(direction)
+        new_y = state["loc_y"] + speed * jnp.sin(direction)
+        crossed = ~(
+            (new_x >= 0)
+            & (new_x <= self.grid_length)
+            & (new_y >= 0)
+            & (new_y <= self.grid_length)
+        )
+        loc_x = jnp.clip(new_x, 0.0, self.grid_length)
+        loc_y = jnp.clip(new_y, 0.0, self.grid_length)
+        edge_penalty = self.edge_hit_penalty * crossed.astype(jnp.float32)
+
+        # ---- rewards -------------------------------------------------------
+        alive = still_i > 0
+        rew = jnp.where(
+            alive, edge_penalty + jnp.asarray(self.step_rewards), 0.0
+        )
+
+        dx = loc_x[:, None] - loc_x[None, :]
+        dy = loc_y[:, None] - loc_y[None, :]
+        dist = jnp.sqrt(dx**2 + dy**2)
+        d_rt = jnp.where(is_tagger[None, :], dist, _BIG)
+        min_d = d_rt.min(axis=1)
+        nearest_tagger = d_rt.argmin(axis=1)
+        tagged = alive & is_runner & (min_d < self.distance_margin_for_reward)
+
+        rew = rew + self.tag_penalty_for_runner * tagged.astype(jnp.float32)
+        rew = rew.at[nearest_tagger].add(
+            self.tag_reward_for_tagger * tagged.astype(jnp.float32)
+        )
+        if self.runner_exits_game_after_tagged:
+            still_i = jnp.where(tagged, 0, still_i).astype(jnp.int32)
+
+        num_runners_alive = (is_runner & (still_i > 0)).sum()
+        survivors = is_runner & (still_i > 0)
+        rew = rew + jnp.where(
+            (t == self.episode_length) & survivors,
+            self.end_of_game_reward_for_runner,
+            0.0,
+        )
+
+        # ---- observation ----------------------------------------------------
+        still_f = still_i.astype(jnp.float32)
+        feats = jnp.stack(
+            [
+                loc_x / self.grid_diagonal,
+                loc_y / self.grid_diagonal,
+                speed / (self.max_speed + _EPS),
+                acc / (self.max_speed + _EPS),
+                direction / np.float32(2 * np.pi),
+            ]
+        )  # (5, N)
+        types_f = jnp.asarray(self.agent_types, dtype=jnp.float32)
+        t_norm = (t / self.episode_length).astype(jnp.float32)
+        alive_now = still_i > 0
+
+        if self.use_full_observation:
+            # rel[i] = feats - feats[:, i]; dead agents see zeros
+            rel = feats[:, None, :] - feats[:, :, None]  # (5, N_self, N_other)
+            rel = jnp.where(alive_now[None, :, None], rel, 0.0)
+            rows = jnp.concatenate(
+                [
+                    rel,
+                    jnp.broadcast_to(types_f, (1, N, N)),
+                    jnp.broadcast_to(still_f, (1, N, N)),
+                ],
+                axis=0,
+            )  # (7, N_self, N_other)
+            # drop the self column: gather indices j<i -> j, j>=i -> j+1
+            idx = jnp.arange(N - 1)[None, :] + (
+                jnp.arange(N - 1)[None, :] >= jnp.arange(N)[:, None]
+            )  # (N, N-1)
+            gathered = jnp.take_along_axis(
+                rows.transpose(1, 0, 2),  # (N_self, 7, N_other)
+                idx[:, None, :],
+                axis=2,
+            )  # (N, 7, N-1)
+            time_col = jnp.where(alive_now, t_norm, 0.0)[:, None]
+            obs = jnp.concatenate(
+                [gathered.reshape(N, -1), time_col], axis=1
+            )
+        else:
+            k = self.num_other_agents_observed
+            d_obs = jnp.where(
+                (jnp.eye(N, dtype=bool)) | (~alive_now)[None, :], _BIG, dist
+            )
+            neg_top, nbr_idx = lax.top_k(-d_obs, k)  # ascending distance
+            valid = (-neg_top) < _BIG  # (N, k)
+            rel = (
+                feats.T[nbr_idx] - feats.T[:, None, :]
+            )  # (N, k, 5): feats.T is (N,5)
+            rel = jnp.where(valid[..., None], rel, 0.0)
+            nbr_types = jnp.where(valid, types_f[nbr_idx], 0.0)
+            nbr_still = jnp.where(valid, still_f[nbr_idx], 0.0)
+            rows = jnp.concatenate(
+                [rel.transpose(0, 2, 1), nbr_types[:, None, :], nbr_still[:, None, :]],
+                axis=1,
+            )  # (N, 7, k)
+            obs = jnp.concatenate(
+                [rows.reshape(N, -1), jnp.full((N, 1), t_norm)], axis=1
+            )
+            obs = jnp.where(alive_now[:, None], obs, 0.0)
+
+        done = jnp.where(
+            (t >= self.episode_length) | (num_runners_alive == 0), 1, 0
+        ).astype(jnp.int32)
+
+        out = dict(state)
+        out["loc_x"] = loc_x.astype(jnp.float32)
+        out["loc_y"] = loc_y.astype(jnp.float32)
+        out["speed"] = speed
+        out["direction"] = direction
+        out["acceleration"] = acc.astype(jnp.float32)
+        out["still_in_the_game"] = still_i
+        out[_OBS] = obs.astype(jnp.float32)
+        out[_REWARDS] = rew.astype(jnp.float32)
+        out[Constants.TIMESTEP] = t
+        out[Constants.DONE] = done
+        return out
+
+
+env_registrar.add(TagContinuous, backend="cpu")
+env_registrar.add(TpuTagContinuous, backend="tpu", name="TagContinuous")
