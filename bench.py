@@ -1,0 +1,108 @@
+"""
+Headline benchmark: TagContinuous environment-simulation throughput.
+
+Measures env-steps/s (one env-step = one replica advancing one timestep; all
+105 agents of a replica advance together) of the flagship TagContinuous
+system (5 taggers + 100 runners) with the WHOLE loop fused in one jitted
+``lax.scan`` — action generation, vmapped env physics (O(N²) pairwise
+distances on the MXU), tagging resolution, observation build, and
+done-driven auto-reset.
+
+Baseline: the reference (salesforce/warp-drive) reports ~9.8M env-steps/s on
+discrete Tag (JMLR 23(316); repo claim "millions of steps per second",
+``README.md:33-34``); /root/repo/BASELINE.json sets the north star at 1e7
+env-steps/s/chip for this config.  ``vs_baseline`` is measured against 1e7.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "env_steps/s", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_ENV_STEPS_PER_S = 1.0e7
+
+
+def rollout_rate(step_fn, state, n_steps: int, num_envs: int, key,
+                 params=None, repeats: int = 3) -> float:
+    """Time a jitted n-step scan of ``step_fn``; return env-steps/s."""
+
+    if params is None:
+        def scan_fn(st, k):
+            keys = jax.random.split(k, n_steps)
+            return jax.lax.scan(lambda s, kk: (step_fn(s, kk), 0), st, keys)[0]
+        jitted = jax.jit(scan_fn)
+        args = lambda st, k: (st, k)
+    else:
+        def scan_fn(p, st, k):
+            keys = jax.random.split(k, n_steps)
+            return jax.lax.scan(lambda s, kk: (step_fn(p, s, kk), 0), st, keys)[0]
+        jitted = jax.jit(scan_fn)
+        args = lambda st, k: (params, st, k)
+
+    # warmup / compile
+    key, sub = jax.random.split(key)
+    state = jitted(*args(state, sub))
+    jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
+
+    best = 0.0
+    for _ in range(repeats):
+        key, sub = jax.random.split(key)
+        t0 = time.perf_counter()
+        state = jitted(*args(state, sub))
+        jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
+        dt = time.perf_counter() - t0
+        best = max(best, n_steps * num_envs / dt)
+    return best
+
+
+def main():
+    from warpdrive_tpu.presets import build_flagship
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+    num_envs = 2000 if on_tpu else 32
+    n_steps = 500 if on_tpu else 20
+
+    sys_ = build_flagship(num_envs=num_envs, fc_dims=(256, 256), seed=0)
+    key = jax.random.PRNGKey(42)
+
+    env_rate = rollout_rate(
+        sys_["env_only_step"], sys_["state"], n_steps, num_envs, key
+    )
+    full_rate = rollout_rate(
+        sys_["full_loop_step"], sys_["state"], n_steps, num_envs, key,
+        params=sys_["params"],
+    )
+
+    print(
+        f"[bench] platform={platform} envs={num_envs} agents={sys_['num_agents']} "
+        f"steps/scan={n_steps}\n"
+        f"[bench] env-only (random actions): {env_rate:,.0f} env-steps/s\n"
+        f"[bench] full loop (policy+sample+step+reset): {full_rate:,.0f} env-steps/s",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "tag_continuous_env_steps_per_sec",
+                "value": round(env_rate),
+                "unit": "env_steps/s",
+                "vs_baseline": round(env_rate / BASELINE_ENV_STEPS_PER_S, 3),
+                "full_loop_env_steps_per_sec": round(full_rate),
+                "num_envs": num_envs,
+                "num_agents": sys_["num_agents"],
+                "platform": platform,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

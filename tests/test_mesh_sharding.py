@@ -1,0 +1,115 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh (SURVEY §4:
+"mesh-sharded run on host-count=1 simulated devices"; replaces the
+reference's opportunistic multi-GPU test, ``test_env_training.py:77-82``)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from warpdrive_tpu.envs import register_all_envs
+from warpdrive_tpu.envs.engine import EnvEngine
+from warpdrive_tpu.parallel.mesh import (
+    apply_env_sharding,
+    env_sharding,
+    make_mesh,
+)
+from warpdrive_tpu.utils.env_registrar import env_registrar
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register():
+    register_all_envs()
+
+
+def _build_engine(num_envs=16, seed=0):
+    env_cls = env_registrar.get("ClassicControlCartPoleEnv", backend="tpu")
+    env = env_cls(episode_length=100, seed=3)
+    return EnvEngine(env_obj=env, num_envs=num_envs, seed=seed)
+
+
+def test_state_is_sharded_over_env_axis():
+    engine = _build_engine(num_envs=16)
+    engine = apply_env_sharding(engine, num_devices=8)
+    sharding = engine.state["observations"].sharding
+    assert sharding.is_equivalent_to(
+        env_sharding(engine.mesh, engine.state["observations"].ndim), 3
+    )
+    # 16 envs over 8 devices -> 2 envs per shard
+    shard_shapes = {s.data.shape for s in engine.state["observations"].addressable_shards}
+    assert all(shape[0] == 2 for shape in shard_shapes)
+
+
+def test_sharded_step_matches_unsharded():
+    """The SPMD program must compute exactly what the single-device one does."""
+    engine_a = _build_engine(num_envs=16, seed=0)
+    engine_b = _build_engine(num_envs=16, seed=0)
+    engine_b = apply_env_sharding(engine_b, num_devices=8)
+
+    actions = np.ones((16, 1), dtype=np.int32)
+    out_a = engine_a.step_all_envs(actions)
+    out_b = engine_b.step_all_envs(actions)
+    for key in ("observations", "rewards"):
+        np.testing.assert_allclose(
+            np.asarray(out_a[key]), np.asarray(out_b[key]), rtol=1e-6
+        )
+
+
+def test_sharded_a2c_iteration_runs_and_grads_match():
+    """One sharded A2C train iteration == the unsharded iteration (the
+    gradient all-reduce XLA inserts must be numerically invisible)."""
+    from warpdrive_tpu.training.trainer_a2c import TrainerA2C
+
+    def build(shard: bool):
+        engine = _build_engine(num_envs=16, seed=0)
+        if shard:
+            engine = apply_env_sharding(engine, num_devices=8)
+        config = {
+            "trainer": {
+                "num_envs": 16,
+                "num_episodes": 64,
+                "train_batch_size": 64,  # T = 4
+                "seed": 17,
+            },
+            "policy": {
+                "shared": {
+                    "to_train": True,
+                    "algorithm": "A2C",
+                    "gamma": 0.98,
+                    "lr": 1e-3,
+                    "model": {"type": "fully_connected", "fc_dims": [16, 16]},
+                }
+            },
+            "saving": {"basedir": "/tmp/wdtpu_mesh_test", "metrics_log_freq": 1},
+        }
+        return TrainerA2C(env_wrapper=engine, config=config, verbose=False)
+
+    tr_plain = build(shard=False)
+    tr_shard = build(shard=True)
+
+    c_plain, m_plain = tr_plain._iteration_fn(
+        tr_plain._carry, jnp.asarray(0.0, jnp.float32)
+    )
+    c_shard, m_shard = tr_shard._iteration_fn(
+        tr_shard._carry, jnp.asarray(0.0, jnp.float32)
+    )
+
+    # identical seeds -> identical rollouts -> identical losses and params
+    np.testing.assert_allclose(
+        float(m_plain["shared"]["Total loss"]),
+        float(m_shard["shared"]["Total loss"]),
+        rtol=1e-5,
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(c_plain["params"]["shared"]),
+        jax.tree_util.tree_leaves(c_shard["params"]["shared"]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_dryrun_multichip_entrypoint():
+    """The driver's multichip dry run must pass on the virtual mesh."""
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)

@@ -1,0 +1,136 @@
+"""
+Flagship-system presets shared by ``bench.py`` and ``__graft_entry__.py``.
+
+Builds the headline TagContinuous system (5 taggers + 100 runners, two
+policies — the benchmark configuration of reference ``README.md:53-55`` and
+the JMLR paper) as pure functions ready for ``jax.jit``:
+
+* ``env_only_step`` — action sampling from fixed logits + vmapped env step +
+  done-driven auto-reset (the reference's "env simulation rate" metric,
+  ``README.md:33-34``),
+* ``full_loop_step`` — per-policy MLP forward + categorical sampling + env
+  step + auto-reset (the full on-device WarpDrive loop,
+  reference ``trainer_base.py:383-428``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from warpdrive_tpu.models.fully_connected import FullyConnected
+from warpdrive_tpu.sampling.samplers import sample_from_logits
+from warpdrive_tpu.utils.constants import Constants
+
+_OBS = Constants.OBSERVATIONS
+
+# Matches BASELINE.json ("5 taggers, 100 runners, 1000+ replicas") with the
+# observation mode of the reference's own benchmark config
+# (``run_configs/tag_continuous.yaml``: use_full_observation False,
+# num_other_agents_observed 10).
+FLAGSHIP_ENV_KWARGS = dict(
+    num_taggers=5,
+    num_runners=100,
+    grid_length=20.0,
+    episode_length=500,
+    max_acceleration=0.1,
+    min_acceleration=-0.1,
+    max_turn=2.35619449,
+    min_turn=-2.35619449,
+    num_acceleration_levels=10,
+    num_turn_levels=10,
+    skill_level_runner=1.0,
+    skill_level_tagger=1.0,
+    max_speed=1.0,
+    use_full_observation=False,
+    num_other_agents_observed=10,
+    runner_exits_game_after_tagged=True,
+    tag_reward_for_tagger=10.0,
+    tag_penalty_for_runner=-10.0,
+    end_of_game_reward_for_runner=1.0,
+    tagging_distance=0.02,
+)
+
+
+def build_flagship(num_envs: int = 64, fc_dims=(256, 256), seed: int = 0):
+    """
+    Build the flagship TagContinuous system.
+
+    :returns: dict with ``engine``, ``params`` (per-policy pytrees),
+        ``state`` (batched env state), ``full_loop_step(params, state, key)``
+        and ``env_only_step(state, key)`` pure functions, and metadata.
+    """
+    from warpdrive_tpu.envs import register_all_envs
+    from warpdrive_tpu.envs.engine import EnvEngine
+    from warpdrive_tpu.envs.tag_continuous import TpuTagContinuous as TagContinuous
+
+    register_all_envs()
+    env = TagContinuous(**FLAGSHIP_ENV_KWARGS)
+    engine = EnvEngine(env_obj=env, num_envs=num_envs, seed=seed)
+
+    policy_ids = {
+        "runner": np.where(env.agent_types == 0)[0].astype(np.int32),
+        "tagger": np.where(env.agent_types == 1)[0].astype(np.int32),
+    }
+    a_space = env.action_space[0]
+    heads = [int(n) for n in a_space.nvec]  # MultiDiscrete (accel, turn)
+
+    rng = jax.random.PRNGKey(seed)
+    params = {}
+    models = {}
+    obs0 = np.asarray(engine.state[_OBS])
+    for tag, ids in policy_ids.items():
+        models[tag] = FullyConnected(fc_dims=tuple(fc_dims), output_dims=tuple(heads))
+        obs_p = obs0[:, ids].reshape(num_envs, len(ids), -1)
+        rng, sub = jax.random.split(rng)
+        params[tag] = models[tag].init(sub, jnp.asarray(obs_p[:1]))
+
+    n_agents = engine.n_agents
+    ids_arr = {t: jnp.asarray(v) for t, v in policy_ids.items()}
+
+    def _policy_actions(p, state, key):
+        actions = jnp.zeros((num_envs, n_agents, len(heads)), dtype=jnp.int32)
+        keys = jax.random.split(key, 2 * len(policy_ids))
+        for i, (tag, ids) in enumerate(sorted(ids_arr.items())):
+            obs_p = jnp.take(state[_OBS], ids, axis=1)
+            obs_p = obs_p.reshape(obs_p.shape[:2] + (-1,))
+            logits_list, _ = models[tag].apply(p[tag], obs_p)
+            cols = [
+                sample_from_logits(keys[2 * i + j], logits)
+                for j, logits in enumerate(logits_list)
+            ]
+            actions = actions.at[:, ids, :].set(jnp.stack(cols, axis=-1))
+        return actions
+
+    def full_loop_step(p, state, key):
+        """One full WarpDrive loop step: eval + sample + step + reset."""
+        k_act, k_reset = jax.random.split(key)
+        actions = _policy_actions(p, state, k_act)
+        state = engine.step(state, actions)
+        return engine.auto_reset(state, k_reset)
+
+    def env_only_step(state, key):
+        """Random-action env step + auto-reset (env simulation rate)."""
+        k_act, k_reset = jax.random.split(key)
+        mins = jnp.zeros((len(heads),), dtype=jnp.int32)
+        maxs = jnp.asarray(heads, dtype=jnp.int32)
+        actions = jax.random.randint(
+            k_act, (num_envs, n_agents, len(heads)), mins, maxs, dtype=jnp.int32
+        )
+        state = engine.step(state, actions)
+        return engine.auto_reset(state, k_reset)
+
+    return {
+        "engine": engine,
+        "env": env,
+        "models": models,
+        "params": params,
+        "state": dict(engine.state),
+        "policy_ids": policy_ids,
+        "full_loop_step": full_loop_step,
+        "env_only_step": env_only_step,
+        "num_envs": num_envs,
+        "num_agents": n_agents,
+    }

@@ -1,0 +1,151 @@
+"""
+Vertical auto-scaling: find the largest env count / batch size that fits.
+
+Parity with reference ``warp_drive/training/utils/vertical_scaler.py:23-185``
+(``perform_auto_vertical_scaling`` + ``best_param_search``): the reference
+deliberately injects failures — it launches trial runs in subprocesses and
+binary-searches the largest ``num_envs`` (then the largest batch multiple)
+that neither OOMs nor fails to launch.
+
+On TPU the failure mode probed is XLA HBM exhaustion, which can strike at
+COMPILE time (buffer assignment) or at RUN time; both surface as
+``RESOURCE_EXHAUSTED`` errors.  Each probe therefore builds the engine +
+trainer and executes one full jitted iteration inside a fresh subprocess, so
+a failed allocation cannot poison the parent's TPU client.
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+import logging
+import os
+import subprocess
+import sys
+import tempfile
+
+
+def best_param_search(is_valid, low: int = 1, margin: int = 1):
+    """
+    Largest valid parameter search (reference ``vertical_scaler.py:23-99``):
+    exponential doubling from ``low`` until failure, then bisection between
+    the last success and the first failure, down to ``margin`` resolution.
+    """
+    assert low > 0
+    if not is_valid(low):
+        raise ValueError(f"even the lower bound {low} is not feasible")
+    hi = low
+    while is_valid(hi * 2):
+        hi *= 2
+        if hi > 2**24:  # safety rail
+            return hi
+    lo, hi = hi, hi * 2  # lo valid, hi invalid
+    while hi - lo > margin:
+        mid = (lo + hi) // 2
+        if is_valid(mid):
+            lo = mid
+        else:
+            hi = mid
+    return lo
+
+
+_PROBE_SNIPPET = r"""
+import json, sys
+payload = json.load(open(sys.argv[1]))
+run_config = payload["run_config"]
+env_setup = tuple(payload["env_setup"])
+try:
+    from warpdrive_tpu.training.scripts.train import setup_trainer_and_train
+    run_config["trainer"]["num_episodes"] = (
+        run_config["trainer"]["train_batch_size"] // 1
+    )  # overwritten below
+    # exactly one iteration: num_episodes * episode_length == train_batch_size
+    from warpdrive_tpu.envs import register_all_envs
+    from warpdrive_tpu.utils.env_registrar import env_registrar
+    register_all_envs()
+    env_cls = env_registrar.get(env_setup[0], backend="tpu")
+    probe_env = env_cls(**run_config.get("env", {}))
+    ep_len = probe_env.episode_length
+    bs = run_config["trainer"]["train_batch_size"]
+    run_config["trainer"]["num_episodes"] = max(1, bs // ep_len + 1)
+    run_config["saving"]["metrics_log_freq"] = 10**9
+    run_config["saving"]["model_params_save_freq"] = 10**9
+    setup_trainer_and_train(run_config, env_setup=env_setup, verbose=False)
+    print("PROBE_OK")
+except Exception as e:  # noqa: BLE001 — any failure means "does not fit"
+    print(f"PROBE_FAIL: {type(e).__name__}: {e}")
+    sys.exit(1)
+"""
+
+
+def _probe(run_config: dict, env_setup, timeout_s: int = 900) -> bool:
+    """Run one trial configuration in a fresh subprocess; True if it fits."""
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".json", delete=False
+    ) as f:
+        json.dump({"run_config": run_config, "env_setup": list(env_setup)}, f)
+        path = f.name
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", _PROBE_SNIPPET, path],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+            check=False,
+        )
+        ok = proc.returncode == 0 and "PROBE_OK" in proc.stdout
+        if not ok:
+            logging.info(
+                "autoscaler probe failed (num_envs=%s batch=%s): %s",
+                run_config["trainer"]["num_envs"],
+                run_config["trainer"]["train_batch_size"],
+                (proc.stdout + proc.stderr)[-500:],
+            )
+        return ok
+    except subprocess.TimeoutExpired:
+        logging.info("autoscaler probe timed out — treating as infeasible")
+        return False
+    finally:
+        os.unlink(path)
+
+
+def perform_auto_vertical_scaling(run_config: dict, env_setup) -> dict:
+    """
+    Find the largest feasible ``num_envs`` (keeping batch-per-env constant),
+    then the largest feasible ``train_batch_size`` multiple at that env count
+    (reference ``vertical_scaler.py:102-185``).  Returns an updated copy of
+    the run config.
+    """
+    base = copy.deepcopy(run_config)
+    base_envs = int(base["trainer"]["num_envs"])
+    batch_per_env = max(
+        1, int(base["trainer"]["train_batch_size"]) // base_envs
+    )
+
+    def envs_valid(num_envs: int) -> bool:
+        trial = copy.deepcopy(base)
+        trial["trainer"]["num_envs"] = num_envs
+        trial["trainer"]["train_batch_size"] = num_envs * batch_per_env
+        return _probe(trial, env_setup)
+
+    logging.info("autoscaler: searching max num_envs from %d ...", base_envs)
+    best_envs = best_param_search(envs_valid, low=base_envs)
+
+    def batch_valid(mult: int) -> bool:
+        trial = copy.deepcopy(base)
+        trial["trainer"]["num_envs"] = best_envs
+        trial["trainer"]["train_batch_size"] = best_envs * batch_per_env * mult
+        return _probe(trial, env_setup)
+
+    logging.info("autoscaler: searching max batch multiple at %d envs ...", best_envs)
+    best_mult = best_param_search(batch_valid, low=1)
+
+    out = copy.deepcopy(run_config)
+    out["trainer"]["num_envs"] = best_envs
+    out["trainer"]["train_batch_size"] = best_envs * batch_per_env * best_mult
+    logging.info(
+        "autoscaler: selected num_envs=%d train_batch_size=%d",
+        out["trainer"]["num_envs"],
+        out["trainer"]["train_batch_size"],
+    )
+    return out

@@ -107,7 +107,7 @@ class TrainerA2C(TrainerBase):
             if ckpt:
                 self.load_model_checkpoint({tag: ckpt})
 
-        self._carry = self._init_carry()
+        self._carry = self._maybe_shard_carry(self._init_carry())
         self._iteration_fn = jax.jit(self._build_iteration_fn(), donate_argnums=(0,))
         self._act_fn = jax.jit(self._build_act_fn(), static_argnames=("use_argmax",))
 

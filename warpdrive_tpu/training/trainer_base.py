@@ -235,6 +235,21 @@ class TrainerBase:
         )
 
     # ------------------------------------------------------------ utilities
+    def _maybe_shard_carry(self, carry):
+        """
+        If the engine carries a device mesh (multi-chip run), place the carry
+        on it: env-batched leaves sharded over the ``env`` axis, params and
+        optimizer state replicated.  XLA then compiles the iteration as one
+        SPMD program with an automatic gradient all-reduce — the TPU-native
+        replacement for torch DDP (reference ``trainer_a2c.py:137-146``).
+        """
+        mesh = getattr(self.engine, "mesh", None)
+        if mesh is None:
+            return carry
+        from warpdrive_tpu.parallel.mesh import shard_carry
+
+        return shard_carry(carry, mesh, self.num_envs)
+
     def _is_lead_process(self) -> bool:
         return self.device_id == 0 and jax.process_index() == 0
 

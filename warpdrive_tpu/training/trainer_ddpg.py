@@ -1,0 +1,549 @@
+"""
+TrainerDDPG: off-policy trainer for continuous (Box) action spaces.
+
+Parity with reference ``warp_drive/training/trainers/trainer_ddpg.py:54-532``,
+re-architected as one jitted program per iteration:
+
+  lax.scan over training_batch_size_per_env:
+      actor forward -> OU exploration noise -> env step -> auto-reset
+      (reference :243-318 rollout with NumbaSampler.sample_ou_process)
+  sliding-window replay update (reference RingBuffer, ``ring_buffer.py:5-87``)
+  then, per trained policy, gated on the buffer being full (reference
+  :319-334 "this should skip the first roll-out train only"):
+      critic MSE vs n-step bootstrapped returns from the target nets,
+      actor loss -mean Q(s, pi(s)) through a FROZEN critic,
+      Adam + per-net LR schedules (:217-241), grad clip,
+      soft target updates (:42-51, 412-413).
+
+Deliberate deviation from the reference (documented, not an oversight): the
+reference's ``actor_loss.backward()`` also deposits gradients into the
+CRITIC's parameters, which its critic optimizer then applies alongside the
+critic-loss gradients (``trainer_ddpg.py:385-410``).  Standard DDPG
+(Lillicrap et al. 2015) freezes the critic in the actor update; we implement
+the standard form -- ``jax.grad`` w.r.t. actor params only -- which is
+strictly better-behaved.
+
+The reference's circular RingBuffer (front/rear pointers over a device
+tensor, unrolled with ``torch.roll``) becomes a time-ordered sliding window:
+each iteration appends exactly T new rows to a ``(T + n_step - 1)``-row
+buffer via ``concat(buf[T:], new)``, so ``unroll()`` order is the buffer
+order itself -- no pointer arithmetic, no rolls.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from warpdrive_tpu.algos.ddpg import DDPG
+from warpdrive_tpu.models.factory import ModelFactory
+from warpdrive_tpu.sampling.samplers import sample_ou_process
+from warpdrive_tpu.training.param_scheduler import ParamScheduler
+from warpdrive_tpu.training.trainer_base import TrainerBase
+from warpdrive_tpu.utils.constants import Constants
+
+_OBS = Constants.OBSERVATIONS
+_REWARDS = Constants.REWARDS
+_DONE = Constants.DONE
+
+_EPSILON = 1e-10
+
+
+def soft_update(target_params, source_params, tau):
+    """Polyak averaging (reference ``trainer_ddpg.py:42-47``)."""
+    return jax.tree_util.tree_map(
+        lambda t, s: t * (1.0 - tau) + s * tau, target_params, source_params
+    )
+
+
+class TrainerDDPG(TrainerBase):
+    """DDPG trainer over one or more continuous-action policies."""
+
+    def __init__(self, env_wrapper=None, config=None, **kwargs):
+        super().__init__(env_wrapper=env_wrapper, config=config, **kwargs)
+
+        self.algorithms = {}
+        self.actor_models = {}
+        self.critic_models = {}
+        self.actor_lr_schedules = {}
+        self.critic_lr_schedules = {}
+        self.actor_optimizers = {}
+        self.critic_optimizers = {}
+        self.tau = {}
+        self._num_action_dims = {}
+
+        # replay window: T fresh rows per iteration + n_step - 1 history rows
+        # (the reference sizes its batch container the same way,
+        # ``trainer_base.py:246``)
+        self.buffer_capacity = self.training_batch_size_per_env + self.n_step - 1
+
+        # OU sampler params, schedulable (reference ``trainer_base.py:147-151``
+        # + ``run_configs/single_pendulum.yaml`` sampler section)
+        sampler_params = (config.get("sampler") or {}).get("params") or {}
+        self.ou_damping = ParamScheduler(sampler_params.get("damping", 0.15))
+        self.ou_stddev = ParamScheduler(sampler_params.get("stddev", 0.2))
+        self.ou_scale = ParamScheduler(sampler_params.get("scale", 1.0))
+
+        init_rng = self._next_rng()
+        obs0 = self.engine.reset_all_envs()
+
+        actor_params = {}
+        critic_params = {}
+        for tag in self.policies:
+            policy_cfg = config["policy"][tag]
+            heads, _, is_det = self._action_heads(tag)
+            assert is_det, (
+                "TrainerDDPG requires Box action spaces; use TrainerA2C for "
+                "categorical actions"
+            )
+            num_action_dims = len(heads)
+            self._num_action_dims[tag] = num_action_dims
+            space = self.act_space[tag]
+            # symmetric bound scale from the Box space; the config's
+            # ``output_w`` overrides (reference pendulum yaml ``output_w: 2.0``)
+            high = float(np.max(np.abs(space.high)))
+            model_cfg = policy_cfg["model"]
+            actor_cfg = model_cfg["actor"]
+            critic_cfg = model_cfg["critic"]
+            output_w = float(actor_cfg.get("output_w", high if np.isfinite(high) else 1.0))
+
+            actor_cls = ModelFactory.create(actor_cfg["type"])
+            self.actor_models[tag] = actor_cls(
+                fc_dims=tuple(actor_cfg["fc_dims"]),
+                num_action_types=num_action_dims,
+                action_scale=output_w,
+            )
+            critic_cls = ModelFactory.create(critic_cfg["type"])
+            self.critic_models[tag] = critic_cls(fc_dims=tuple(critic_cfg["fc_dims"]))
+
+            obs_flat = self._gather_policy_obs(jnp.asarray(obs0), tag)
+            init_rng, k_a, k_c = jax.random.split(init_rng, 3)
+            actor_params[tag] = self.actor_models[tag].init(k_a, obs_flat[:1])
+            a0 = self.actor_models[tag].apply(actor_params[tag], obs_flat[:1])
+            critic_params[tag] = self.critic_models[tag].init(
+                k_c, obs_flat[:1], a0
+            )
+
+            assert policy_cfg.get("algorithm", "DDPG").upper() == "DDPG"
+            self.algorithms[tag] = DDPG(
+                discount_factor_gamma=policy_cfg.get("gamma", 0.99),
+                normalize_advantage=policy_cfg.get("normalize_advantage", False),
+                normalize_return=policy_cfg.get("normalize_return", False),
+                n_step=self.n_step,
+            )
+            self.tau[tag] = float(policy_cfg.get("tau", 0.05))
+
+            lr_cfg = policy_cfg.get("lr", 1e-3)
+            if isinstance(lr_cfg, dict):
+                actor_lr, critic_lr = lr_cfg["actor"], lr_cfg["critic"]
+            else:
+                actor_lr = critic_lr = lr_cfg
+            self.actor_lr_schedules[tag] = ParamScheduler(actor_lr)
+            self.critic_lr_schedules[tag] = ParamScheduler(critic_lr)
+
+            def make_opt(clip, max_norm):
+                chain = []
+                if clip:
+                    chain.append(optax.clip_by_global_norm(max_norm))
+                chain += [optax.scale_by_adam(), optax.scale(-1.0)]
+                return optax.chain(*chain)
+
+            clip = policy_cfg.get("clip_grad_norm", True)
+            max_norm = policy_cfg.get("max_grad_norm", 3.0)
+            self.actor_optimizers[tag] = make_opt(clip, max_norm)
+            self.critic_optimizers[tag] = make_opt(clip, max_norm)
+
+        self.params = {"actor": actor_params, "critic": critic_params}
+        self._carry = self._maybe_shard_carry(self._init_carry())
+        self._iteration_fn = jax.jit(self._build_iteration_fn(), donate_argnums=(0,))
+        self._act_fn = jax.jit(
+            self._build_act_fn(), static_argnames=("use_argmax",)
+        )
+
+        for tag in self.policies:
+            ckpts = config["policy"][tag]["model"].get("model_ckpt_filepath", {})
+            if isinstance(ckpts, dict) and any(ckpts.values()):
+                self.load_model_checkpoint({tag: ckpts})
+
+    # ------------------------------------------------------------- carries
+    def _obs_feature_dim(self, tag):
+        from warpdrive_tpu.utils.spaces import get_flattened_obs_size
+
+        return get_flattened_obs_size(self.obs_space[tag])
+
+    def _init_carry(self):
+        E = self.num_envs
+        cap = self.buffer_capacity
+        buf = {}
+        ou = {}
+        for tag, ids in self.policy_tag_to_agent_id_map.items():
+            Ap = len(ids)
+            C = self._num_action_dims[tag]
+            F = self._obs_feature_dim(tag)
+            buf[tag] = {
+                "obs": jnp.zeros((cap, E, Ap, F), jnp.float32),
+                "actions": jnp.zeros((cap, E, Ap, C), jnp.float32),
+                "rewards": jnp.zeros((cap, E, Ap), jnp.float32),
+            }
+            ou[tag] = jnp.zeros((E, Ap, C), jnp.float32)
+        return {
+            "env_state": dict(self.engine.state),
+            "actor": dict(self.params["actor"]),
+            "critic": dict(self.params["critic"]),
+            # hard-copied so target nets start equal to the online nets
+            # (reference hard_update at init, ``trainer_ddpg.py:48-51``) but
+            # occupy distinct buffers (the jitted iteration donates its carry).
+            "target_actor": jax.tree_util.tree_map(
+                jnp.copy, dict(self.params["actor"])
+            ),
+            "target_critic": jax.tree_util.tree_map(
+                jnp.copy, dict(self.params["critic"])
+            ),
+            "opt_actor": {
+                t: self.actor_optimizers[t].init(self.params["actor"][t])
+                for t in self.policies
+            },
+            "opt_critic": {
+                t: self.critic_optimizers[t].init(self.params["critic"][t])
+                for t in self.policies
+            },
+            "ou": ou,
+            "buf": buf,
+            "done_buf": jnp.zeros((cap, E), jnp.int32),
+            "filled": jnp.zeros((), jnp.int32),
+            "rng": self._next_rng(),
+            "ep_acc": jnp.zeros((E, self.engine.n_agents), jnp.float32),
+            "ep_sum": jnp.zeros((), jnp.float32),
+            "ep_count": jnp.zeros((), jnp.float32),
+        }
+
+    def _rebuild_carry_params(self):
+        if self._carry is not None:
+            self._carry["actor"] = dict(self.params["actor"])
+            self._carry["critic"] = dict(self.params["critic"])
+            self._carry["target_actor"] = dict(self.params["actor"])
+            self._carry["target_critic"] = dict(self.params["critic"])
+
+    # ------------------------------------------------------------- acting
+    def _scatter_actions(self, per_policy_actions: dict) -> jnp.ndarray:
+        num_c = max(a.shape[-1] for a in per_policy_actions.values())
+        actions = jnp.zeros(
+            (self.num_envs, self.engine.n_agents, num_c), dtype=jnp.float32
+        )
+        for tag, acts in per_policy_actions.items():
+            ids = jnp.asarray(self.policy_tag_to_agent_id_map[tag])
+            actions = actions.at[:, ids, : acts.shape[-1]].set(acts)
+        return actions
+
+    def _build_act_fn(self):
+        """Deterministic (no-noise) action fn for evaluation."""
+
+        def act(actor_params, env_state, key, use_argmax=True):
+            del key
+            per_policy = {}
+            for tag in self.policies:
+                obs_p = self._gather_policy_obs(env_state[_OBS], tag)
+                per_policy[tag] = self.actor_models[tag].apply(
+                    actor_params[tag], obs_p
+                )
+            return self._scatter_actions(per_policy)
+
+        return act
+
+    # ------------------------------------------------------------- program
+    def _build_iteration_fn(self):
+        engine = self.engine
+        T = self.training_batch_size_per_env
+        cap = self.buffer_capacity
+        policies = list(self.policies)
+        trained = list(self.policies_to_train)
+
+        def iteration(carry, timestep):
+            rng, k_roll = jax.random.split(carry["rng"])
+            step_keys = jax.random.split(k_roll, T)
+
+            damping = self.ou_damping.value_at(timestep)
+            stddev = self.ou_stddev.value_at(timestep)
+            scale = self.ou_scale.value_at(timestep)
+            actor_params = carry["actor"]
+
+            def rollout_step(rs_carry, key_t):
+                env_state, ou, ep_acc, ep_sum, ep_count = rs_carry
+                k_sample, k_reset = jax.random.split(key_t)
+
+                per_policy_actions = {}
+                new_ou = {}
+                rec = {}
+                sample_keys = jax.random.split(k_sample, len(policies))
+                for sk, tag in zip(sample_keys, policies):
+                    obs_p = self._gather_policy_obs(env_state[_OBS], tag)
+                    mu = self.actor_models[tag].apply(actor_params[tag], obs_p)
+                    actions_p, new_ou[tag] = sample_ou_process(
+                        sk, mu, ou[tag],
+                        damping=damping, stddev=stddev, scale=scale,
+                    )
+                    per_policy_actions[tag] = actions_p
+                    rec[f"obs_{tag}"] = obs_p
+                    rec[f"actions_{tag}"] = actions_p
+
+                actions = self._scatter_actions(per_policy_actions)
+                env_state = engine.step(env_state, actions)
+
+                rewards = env_state[_REWARDS]
+                done = env_state[_DONE]
+                for tag in policies:
+                    ids = jnp.asarray(self.policy_tag_to_agent_id_map[tag])
+                    rec[f"rewards_{tag}"] = jnp.take(rewards, ids, axis=1)
+                rec["done"] = done
+
+                ep_acc = ep_acc + rewards
+                done_mask = (done > 0).astype(jnp.float32)
+                ep_sum = ep_sum + (ep_acc.mean(axis=1) * done_mask).sum()
+                ep_count = ep_count + done_mask.sum()
+                ep_acc = ep_acc * (1.0 - done_mask)[:, None]
+
+                env_state = engine.auto_reset(env_state, k_reset)
+                return (env_state, new_ou, ep_acc, ep_sum, ep_count), rec
+
+            (env_state, ou, ep_acc, ep_sum, ep_count), rows = jax.lax.scan(
+                rollout_step,
+                (
+                    carry["env_state"],
+                    carry["ou"],
+                    carry["ep_acc"],
+                    carry["ep_sum"],
+                    carry["ep_count"],
+                ),
+                step_keys,
+            )
+
+            # ---- sliding-window replay update (RingBuffer parity) ----------
+            new_buf = {}
+            for tag in policies:
+                b = carry["buf"][tag]
+                new_buf[tag] = {
+                    "obs": jnp.concatenate(
+                        [b["obs"][T:], rows[f"obs_{tag}"]], axis=0
+                    ),
+                    "actions": jnp.concatenate(
+                        [b["actions"][T:], rows[f"actions_{tag}"]], axis=0
+                    ),
+                    "rewards": jnp.concatenate(
+                        [b["rewards"][T:], rows[f"rewards_{tag}"]], axis=0
+                    ),
+                }
+            done_buf = jnp.concatenate(
+                [carry["done_buf"][T:], rows["done"]], axis=0
+            )
+            filled = jnp.minimum(carry["filled"] + T, cap)
+            is_full = (filled >= cap).astype(jnp.float32)
+
+            # ---- per-policy updates, gated on buffer fullness --------------
+            new_actor = dict(carry["actor"])
+            new_critic = dict(carry["critic"])
+            new_t_actor = dict(carry["target_actor"])
+            new_t_critic = dict(carry["target_critic"])
+            new_opt_a = dict(carry["opt_actor"])
+            new_opt_c = dict(carry["opt_critic"])
+            all_metrics = {}
+
+            for tag in trained:
+                algo = self.algorithms[tag]
+                actor_m = self.actor_models[tag]
+                critic_m = self.critic_models[tag]
+                obs_b = new_buf[tag]["obs"]
+                act_b = new_buf[tag]["actions"]
+                rew_b = new_buf[tag]["rewards"]
+
+                # target next-Q: Q'(s_{t+1}, pi'(s_{t+1})), length cap-1
+                # (reference ``trainer_ddpg.py:349-356``)
+                t_mu = actor_m.apply(carry["target_actor"][tag], obs_b)
+                next_q = critic_m.apply(
+                    carry["target_critic"][tag], obs_b[1:], t_mu[1:]
+                )
+                next_q = jax.lax.stop_gradient(next_q)
+
+                def critic_loss_fn(cp, obs_b=obs_b, act_b=act_b, rew_b=rew_b,
+                                   next_q=next_q, critic_m=critic_m, algo=algo):
+                    q = critic_m.apply(cp, obs_b, act_b)
+                    actor_loss, critic_loss, metrics = (
+                        algo.compute_loss_and_metrics(
+                            timestep, act_b, rew_b, done_buf,
+                            q, next_q, q,
+                        )
+                    )
+                    return critic_loss, metrics
+
+                def actor_loss_fn(ap, cp, obs_b=obs_b,
+                                  actor_m=actor_m, critic_m=critic_m,
+                                  algo=algo):
+                    mu = actor_m.apply(ap, obs_b)
+                    j = critic_m.apply(cp, obs_b, mu)
+                    valid = j.shape[0] - algo.n_step + 1
+                    from warpdrive_tpu.algos.returns import (
+                        normalize_across_env_agents,
+                    )
+                    norm_j = normalize_across_env_agents(
+                        j[:valid], algo.normalize_return
+                    )
+                    return -norm_j.mean()
+
+                c_grads, metrics = jax.grad(critic_loss_fn, has_aux=True)(
+                    carry["critic"][tag]
+                )
+                a_grads = jax.grad(actor_loss_fn)(
+                    carry["actor"][tag], jax.lax.stop_gradient(carry["critic"][tag])
+                )
+
+                # gate everything on buffer fullness
+                gate = lambda g: jax.tree_util.tree_map(
+                    lambda x: x * is_full, g
+                )
+                c_grads, a_grads = gate(c_grads), gate(a_grads)
+
+                c_updates, new_opt_c[tag] = self.critic_optimizers[tag].update(
+                    c_grads, carry["opt_critic"][tag], carry["critic"][tag]
+                )
+                a_updates, new_opt_a[tag] = self.actor_optimizers[tag].update(
+                    a_grads, carry["opt_actor"][tag], carry["actor"][tag]
+                )
+                actor_lr = self.actor_lr_schedules[tag].value_at(timestep)
+                critic_lr = self.critic_lr_schedules[tag].value_at(timestep)
+                c_updates = jax.tree_util.tree_map(
+                    lambda u: u * critic_lr * is_full, c_updates
+                )
+                a_updates = jax.tree_util.tree_map(
+                    lambda u: u * actor_lr * is_full, a_updates
+                )
+                new_critic[tag] = optax.apply_updates(
+                    carry["critic"][tag], c_updates
+                )
+                new_actor[tag] = optax.apply_updates(
+                    carry["actor"][tag], a_updates
+                )
+
+                # soft target updates, also gated (reference :412-413)
+                tau_eff = self.tau[tag] * is_full
+                new_t_actor[tag] = soft_update(
+                    carry["target_actor"][tag], new_actor[tag], tau_eff
+                )
+                new_t_critic[tag] = soft_update(
+                    carry["target_critic"][tag], new_critic[tag], tau_eff
+                )
+
+                metrics["Current timestep"] = timestep
+                metrics["Actor learning rate"] = actor_lr
+                metrics["Critic learning rate"] = critic_lr
+                metrics["Actor gradient norm"] = optax.global_norm(a_grads)
+                metrics["Critic gradient norm"] = optax.global_norm(c_grads)
+                metrics["Buffer full"] = is_full
+                all_metrics[tag] = metrics
+
+            mean_ep_reward = ep_sum / jnp.maximum(ep_count, 1.0)
+            for tag in all_metrics:
+                all_metrics[tag]["Mean episodic reward"] = mean_ep_reward
+
+            new_carry = {
+                "env_state": env_state,
+                "actor": new_actor,
+                "critic": new_critic,
+                "target_actor": new_t_actor,
+                "target_critic": new_t_critic,
+                "opt_actor": new_opt_a,
+                "opt_critic": new_opt_c,
+                "ou": ou,
+                "buf": new_buf,
+                "done_buf": done_buf,
+                "filled": filled,
+                "rng": rng,
+                "ep_acc": ep_acc,
+                "ep_sum": ep_sum,
+                "ep_count": ep_count,
+            }
+            return new_carry, all_metrics
+
+        return iteration
+
+    # ------------------------------------------------------- checkpointing
+    def _current_params(self, policy: str):
+        if self._carry is not None and "actor" in self._carry:
+            return {
+                "actor": self._carry["actor"][policy],
+                "critic": self._carry["critic"][policy],
+            }
+        return {
+            "actor": self.params["actor"][policy],
+            "critic": self.params["critic"][policy],
+        }
+
+    def save_model_checkpoint(self, timestep: int = None):
+        """Save actor + critic per policy (reference ``:467-500``)."""
+        from flax import serialization
+
+        if not self._is_lead_process():
+            return
+        timestep = self.current_timestep if timestep is None else timestep
+        for policy in self.policies_to_train:
+            current = self._current_params(policy)
+            for net in ("actor", "critic"):
+                payload = serialization.to_bytes(jax.device_get(current[net]))
+                with open(self._ckpt_path(policy, timestep, net), "wb") as f:
+                    f.write(payload)
+
+    def load_model_checkpoint(self, ckpt_filepaths: dict):
+        """
+        Restore actor+critic per policy; asserts all files agree on the
+        timestep (reference ``:501-532``).
+        """
+        import os
+
+        from flax import serialization
+
+        timesteps = set()
+        for policy, paths in ckpt_filepaths.items():
+            for net in ("actor", "critic"):
+                path = paths.get(net, "") if isinstance(paths, dict) else ""
+                if not path:
+                    continue
+                with open(path, "rb") as f:
+                    payload = f.read()
+                self.params[net][policy] = serialization.from_bytes(
+                    jax.device_get(self.params[net][policy]), payload
+                )
+                stem = os.path.basename(path).split(".")[0]
+                timesteps.add(int(stem.split("_")[-1]))
+        if timesteps:
+            assert len(timesteps) == 1, "checkpoints disagree on the timestep"
+            self.current_timestep = timesteps.pop()
+        self._rebuild_carry_params()
+
+    # ------------------------------------------------------------ evaluate
+    def evaluate_episodes(self, num_episodes: int = 1, use_argmax: bool = True):
+        """No-noise evaluation episodes (reference ``trainer_base.py:794-846``)."""
+        engine = self.engine
+        actor_params = self._carry["actor"]
+
+        def episode(env_state, key):
+            def body(carry, key_t):
+                st, acc = carry
+                actions = self._act_fn(actor_params, st, key_t)
+                st = engine.step(st, actions)
+                acc = acc + st[_REWARDS]
+                return (st, acc), st[_DONE]
+
+            keys = jax.random.split(key, engine.episode_length)
+            acc0 = jnp.zeros((self.num_envs, engine.n_agents), jnp.float32)
+            (st, acc), dones = jax.lax.scan(body, (env_state, acc0), keys)
+            return st, acc, dones
+
+        episode_rewards = []
+        self.engine.reset_all_envs()
+        state = dict(self.engine.state)
+        for _ in range(num_episodes):
+            state, acc, dones = jax.jit(episode)(state, self._next_rng())
+            episode_rewards.append(float(np.asarray(acc.mean())))
+            state = self.engine.auto_reset(state, self._next_rng(), force=True)
+        return episode_rewards
