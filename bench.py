@@ -46,7 +46,7 @@ def rollout_rate(step_fn, state, n_steps: int, num_envs: int, key,
         jitted = jax.jit(scan_fn)
         args = lambda st, k: (params, st, k)
 
-    # warmup / compile
+    # warmup / compile (the carry may be a pytree; keep it opaque)
     key, sub = jax.random.split(key)
     state = jitted(*args(state, sub))
     jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
@@ -74,7 +74,11 @@ def main():
     key = jax.random.PRNGKey(42)
 
     env_rate = rollout_rate(
-        sys_["env_only_step"], sys_["state"], n_steps, num_envs, key
+        sys_["env_only_step"],
+        (sys_["state"], jnp.zeros(())),
+        n_steps,
+        num_envs,
+        key,
     )
     full_rate = rollout_rate(
         sys_["full_loop_step"], sys_["state"], n_steps, num_envs, key,

@@ -43,3 +43,12 @@ def test_cartpole_a2c_trains_and_learns(tmp_path):
     traj = trainer.fetch_episode_states(["state"], include_rewards_actions=True)
     assert traj["state"].ndim == 3 and traj["state"].shape[0] >= 2
     assert np.isfinite(traj["rewards"]).all()
+
+    # ... and can record per-step action probabilities (reference
+    # trainer_base.py:756-776)
+    traj_p = trainer.fetch_episode_states(
+        ["state"], include_rewards_actions=True, include_probabilities=True
+    )
+    probs = traj_p["probabilities"]["shared"][0]
+    assert probs.shape[-1] == 2  # CartPole has 2 actions
+    np.testing.assert_allclose(probs.sum(axis=-1), 1.0, rtol=1e-4)

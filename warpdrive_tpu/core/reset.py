@@ -47,6 +47,10 @@ def make_auto_reset_fn(snapshot: dict, pools: dict):
             done = jnp.ones_like(done)
         new_state = dict(state)
         for name, snap in snapshot.items():
+            if name not in state:
+                # split-step fast path: derived arrays (e.g. observations)
+                # are not carried through the rollout and need no restore
+                continue
             cur = state[name]
             new_state[name] = jnp.where(_bcast(done, cur.ndim), snap[None], cur)
         if pools:

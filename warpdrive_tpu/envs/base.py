@@ -50,3 +50,30 @@ class TpuEnvironmentContext:
 
     def step_fn(self, state: dict) -> dict:  # pragma: no cover - abstract
         raise NotImplementedError
+
+    # ------------------------------------------------------------------
+    # Optional split-step fast path (TPU-first optimization, no reference
+    # analog: the reference must materialize observations into its torch
+    # -aliased placeholder every step because a separate process -- the
+    # PyTorch policy -- reads them.  Here the policy lives in the same jitted
+    # program, so observations can stay a DERIVED quantity: the rollout
+    # carries only the small physical state, computes obs on the fly
+    # (fused by XLA straight into the policy matmul), and never pays the
+    # HBM round-trip of writing + reset-restoring a large obs array.)
+    #
+    # An env opts in by implementing BOTH:
+    #
+    # * ``physics_fn(state, actions) -> state`` -- the dynamics, rewards,
+    #   done/timestep update for ONE replica, with actions passed as an
+    #   argument instead of read from the ``sampled_actions`` placeholder,
+    #   and WITHOUT writing ``observations``;
+    # * ``observe_fn(state) -> obs`` -- the pure observation function of the
+    #   current state (must satisfy ``step_fn == obs∘physics`` so the compat
+    #   path and the consistency checker stay authoritative).
+    #
+    # ``has_split_step`` tells the engine/trainers the fast path exists.
+    # ------------------------------------------------------------------
+
+    @property
+    def has_split_step(self) -> bool:
+        return hasattr(self, "physics_fn") and hasattr(self, "observe_fn")

@@ -147,6 +147,33 @@ class EnvEngine:
 
         self.step = step
         self._jit_step = jax.jit(step)
+
+        # --- split-step fast path (see TpuEnvironmentContext): physics and
+        # observation as separate vmapped pure functions, so trainers can
+        # carry only the physical state and let XLA fuse the observation
+        # build straight into the policy forward ---------------------------
+        self.has_split_step = bool(getattr(self.env, "has_split_step", False))
+        if self.has_split_step:
+            physics_single = self.env.physics_fn
+            observe_single = self.env.observe_fn
+            act_dtype_ = act_dtype
+
+            def step_physics(state: dict, actions) -> dict:
+                actions = jnp.asarray(actions)
+                if actions.ndim == 2:
+                    actions = actions[..., None]
+                return jax.vmap(physics_single)(
+                    dict(state), actions.astype(act_dtype_)
+                )
+
+            def observe(state: dict) -> jnp.ndarray:
+                return jax.vmap(observe_single)(dict(state))
+
+            self.step_physics = step_physics
+            self.observe = observe
+        else:
+            self.step_physics = None
+            self.observe = None
         self._jit_force_reset = jax.jit(
             lambda state, key: self.auto_reset(state, key, force=True)
         )

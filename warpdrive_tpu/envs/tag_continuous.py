@@ -377,9 +377,15 @@ class TpuTagContinuous(TagContinuous, TpuEnvironmentContext):
         return data
 
     def step_fn(self, state: dict) -> dict:
-        N = self.num_agents
+        """Full step = observe ∘ physics (compat / consistency-check path)."""
+        out = self.physics_fn(state, state[_ACTIONS])
+        out[_OBS] = self.observe_fn(out)
+        return out
+
+    def physics_fn(self, state: dict, actions) -> dict:
+        """Dynamics + tagging + rewards + done, WITHOUT the observation
+        build (split-step fast path, see ``TpuEnvironmentContext``)."""
         t = state[Constants.TIMESTEP] + 1
-        actions = state[_ACTIONS]  # (N, 2)
         still_i = state["still_in_the_game"]
         still = still_i.astype(jnp.float32)
         is_tagger = jnp.asarray(self.is_tagger)
@@ -441,7 +447,36 @@ class TpuTagContinuous(TagContinuous, TpuEnvironmentContext):
             0.0,
         )
 
-        # ---- observation ----------------------------------------------------
+        done = jnp.where(
+            (t >= self.episode_length) | (num_runners_alive == 0), 1, 0
+        ).astype(jnp.int32)
+
+        out = dict(state)
+        out["loc_x"] = loc_x.astype(jnp.float32)
+        out["loc_y"] = loc_y.astype(jnp.float32)
+        out["speed"] = speed
+        out["direction"] = direction
+        out["acceleration"] = acc.astype(jnp.float32)
+        out["still_in_the_game"] = still_i
+        out[_REWARDS] = rew.astype(jnp.float32)
+        out[Constants.TIMESTEP] = t
+        out[Constants.DONE] = done
+        return out
+
+    def observe_fn(self, state: dict) -> jnp.ndarray:
+        """Observation of the CURRENT state (single replica): either the
+        full relative-feature table or the k-nearest-neighbor subset
+        (reference ``tag_continuous.py`` obs modes /
+        ``tag_continuous_step_pycuda.cu:295-468``)."""
+        N = self.num_agents
+        t = state[Constants.TIMESTEP]
+        still_i = state["still_in_the_game"]
+        loc_x = state["loc_x"]
+        loc_y = state["loc_y"]
+        speed = state["speed"]
+        acc = state["acceleration"]
+        direction = state["direction"]
+
         still_f = still_i.astype(jnp.float32)
         feats = jnp.stack(
             [
@@ -483,6 +518,9 @@ class TpuTagContinuous(TagContinuous, TpuEnvironmentContext):
             )
         else:
             k = self.num_other_agents_observed
+            dx = loc_x[:, None] - loc_x[None, :]
+            dy = loc_y[:, None] - loc_y[None, :]
+            dist = jnp.sqrt(dx**2 + dy**2)
             d_obs = jnp.where(
                 (jnp.eye(N, dtype=bool)) | (~alive_now)[None, :], _BIG, dist
             )
@@ -503,22 +541,7 @@ class TpuTagContinuous(TagContinuous, TpuEnvironmentContext):
             )
             obs = jnp.where(alive_now[:, None], obs, 0.0)
 
-        done = jnp.where(
-            (t >= self.episode_length) | (num_runners_alive == 0), 1, 0
-        ).astype(jnp.int32)
-
-        out = dict(state)
-        out["loc_x"] = loc_x.astype(jnp.float32)
-        out["loc_y"] = loc_y.astype(jnp.float32)
-        out["speed"] = speed
-        out["direction"] = direction
-        out["acceleration"] = acc.astype(jnp.float32)
-        out["still_in_the_game"] = still_i
-        out[_OBS] = obs.astype(jnp.float32)
-        out[_REWARDS] = rew.astype(jnp.float32)
-        out[Constants.TIMESTEP] = t
-        out[Constants.DONE] = done
-        return out
+        return obs.astype(jnp.float32)
 
 
 env_registrar.add(TagContinuous, backend="cpu")

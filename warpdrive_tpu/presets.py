@@ -90,11 +90,20 @@ def build_flagship(num_envs: int = 64, fc_dims=(256, 256), seed: int = 0):
     n_agents = engine.n_agents
     ids_arr = {t: jnp.asarray(v) for t, v in policy_ids.items()}
 
-    def _policy_actions(p, state, key):
+    # split-step fast path: carry only the physical state; observations are
+    # computed on the fly and fused into the policy matmul by XLA
+    assert engine.has_split_step
+    rollout_state = {
+        k: v
+        for k, v in engine.state.items()
+        if k not in (_OBS, Constants.ACTIONS)
+    }
+
+    def _policy_actions(p, obs_all, key):
         actions = jnp.zeros((num_envs, n_agents, len(heads)), dtype=jnp.int32)
         keys = jax.random.split(key, 2 * len(policy_ids))
         for i, (tag, ids) in enumerate(sorted(ids_arr.items())):
-            obs_p = jnp.take(state[_OBS], ids, axis=1)
+            obs_p = jnp.take(obs_all, ids, axis=1)
             obs_p = obs_p.reshape(obs_p.shape[:2] + (-1,))
             logits_list, _ = models[tag].apply(p[tag], obs_p)
             cols = [
@@ -105,29 +114,34 @@ def build_flagship(num_envs: int = 64, fc_dims=(256, 256), seed: int = 0):
         return actions
 
     def full_loop_step(p, state, key):
-        """One full WarpDrive loop step: eval + sample + step + reset."""
+        """One full WarpDrive loop step: obs + eval + sample + step + reset."""
         k_act, k_reset = jax.random.split(key)
-        actions = _policy_actions(p, state, k_act)
-        state = engine.step(state, actions)
+        obs_all = engine.observe(state)
+        actions = _policy_actions(p, obs_all, k_act)
+        state = engine.step_physics(state, actions)
         return engine.auto_reset(state, k_reset)
 
-    def env_only_step(state, key):
-        """Random-action env step + auto-reset (env simulation rate)."""
+    def env_only_step(carry, key):
+        """Random-action env step + observation + auto-reset (env simulation
+        rate).  The obs checksum keeps the observation computation live
+        (XLA would otherwise dead-code-eliminate it)."""
+        state, checksum = carry
         k_act, k_reset = jax.random.split(key)
         mins = jnp.zeros((len(heads),), dtype=jnp.int32)
         maxs = jnp.asarray(heads, dtype=jnp.int32)
         actions = jax.random.randint(
             k_act, (num_envs, n_agents, len(heads)), mins, maxs, dtype=jnp.int32
         )
-        state = engine.step(state, actions)
-        return engine.auto_reset(state, k_reset)
+        checksum = checksum + engine.observe(state).sum()
+        state = engine.step_physics(state, actions)
+        return engine.auto_reset(state, k_reset), checksum
 
     return {
         "engine": engine,
         "env": env,
         "models": models,
         "params": params,
-        "state": dict(engine.state),
+        "state": rollout_state,
         "policy_ids": policy_ids,
         "full_loop_step": full_loop_step,
         "env_only_step": env_only_step,

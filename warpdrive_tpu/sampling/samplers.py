@@ -61,6 +61,7 @@ def sample_ou_process(
     damping: float = 0.15,
     stddev: float = 0.2,
     scale: float = 1.0,
+    noise: jnp.ndarray = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """
     One step of Ornstein-Uhlenbeck exploration noise around a deterministic
@@ -72,13 +73,17 @@ def sample_ou_process(
     With ``scale < eps`` the action is exactly ``mu`` and the noise state is
     untouched (the reference's no-noise eval mode).
 
+    :param noise: optional presampled ``stddev * N(0, 1)`` draw shaped like
+        ``mu``; when given, ``key`` is unused (rollout scans presample the
+        whole iteration's noise in one batch and feed rows through the scan).
     :returns: (action, new_ou_state), both shaped like ``mu``.
     """
     scale = jnp.asarray(scale, dtype=mu.dtype)
     damping = jnp.asarray(damping, dtype=mu.dtype)
     stddev = jnp.asarray(stddev, dtype=mu.dtype)
 
-    noise = stddev * jax.random.normal(key, mu.shape, dtype=mu.dtype)
+    if noise is None:
+        noise = stddev * jax.random.normal(key, mu.shape, dtype=mu.dtype)
     new_ou = (1.0 - damping) * ou_state + noise
     action = mu + scale * new_ou
     no_noise = scale < 1e-8

@@ -114,7 +114,7 @@ class TrainerA2C(TrainerBase):
     # ------------------------------------------------------------ program
     def _init_carry(self):
         return {
-            "env_state": dict(self.engine.state),
+            "env_state": self._rollout_env_state(),
             "params": dict(self.params),
             "opt": dict(self.opt_states),
             "rng": self._next_rng(),
@@ -184,11 +184,16 @@ class TrainerA2C(TrainerBase):
                 env_state, ep_acc, ep_sum, ep_count = rs_carry
                 k_sample, k_reset = jax.random.split(key_t)
 
+                obs_all = (
+                    engine.observe(env_state)
+                    if engine.has_split_step
+                    else env_state[_OBS]
+                )
                 per_policy_actions = {}
                 rec = {}
                 sample_keys = jax.random.split(k_sample, len(policies))
                 for sk, tag in zip(sample_keys, policies):
-                    obs_p = self._gather_policy_obs(env_state[_OBS], tag)
+                    obs_p = self._gather_policy_obs(obs_all, tag)
                     logits_list, _ = self._policy_forward(
                         tag, params[tag], obs_p
                     )
@@ -198,7 +203,11 @@ class TrainerA2C(TrainerBase):
                     rec[f"actions_{tag}"] = actions_p
 
                 actions = self._scatter_actions(per_policy_actions)
-                env_state = engine.step(env_state, actions)
+                env_state = (
+                    engine.step_physics(env_state, actions)
+                    if engine.has_split_step
+                    else engine.step(env_state, actions)
+                )
 
                 rewards = env_state[_REWARDS]
                 done = env_state[_DONE]
@@ -343,8 +352,19 @@ class TrainerA2C(TrainerBase):
             st, t = carry
             k_act, _ = jax.random.split(key_t)
             actions = self._act_fn(params, st, k_act, use_argmax=False)
+            rec = {}
+            if include_probabilities:
+                # per-policy per-component action probabilities of env_id
+                # (reference ``trainer_base.py:756-776``)
+                for tag in self.policies:
+                    obs_p = self._gather_policy_obs(st[_OBS], tag)
+                    logits_list, _ = self._policy_forward(tag, params[tag], obs_p)
+                    for i, logits in enumerate(logits_list):
+                        rec[f"_probs_{tag}_{i}"] = jax.nn.softmax(
+                            logits[env_id], axis=-1
+                        )
             st = engine.step(st, actions)
-            rec = {name: st[name][env_id] for name in list_of_states}
+            rec.update({name: st[name][env_id] for name in list_of_states})
             if include_rewards_actions:
                 rec["_rewards"] = st[_REWARDS][env_id]
                 rec["_actions"] = actions[env_id]
@@ -370,4 +390,12 @@ class TrainerA2C(TrainerBase):
         if include_rewards_actions:
             out["rewards"] = np.asarray(recs["_rewards"])[:end]
             out["actions"] = np.asarray(recs["_actions"])[:end]
+        if include_probabilities:
+            out["probabilities"] = {
+                tag: [
+                    np.asarray(recs[f"_probs_{tag}_{i}"])[:end]
+                    for i in range(len(self._head_dims[tag]))
+                ]
+                for tag in self.policies
+            }
         return out

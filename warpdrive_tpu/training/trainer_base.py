@@ -235,6 +235,17 @@ class TrainerBase:
         )
 
     # ------------------------------------------------------------ utilities
+    def _rollout_env_state(self):
+        """The env-state pytree carried through the rollout scan: on the
+        split-step fast path, derived/placeholder arrays (observations,
+        sampled actions) stay OUT of the carry — obs are recomputed on the
+        fly and fused into the policy forward."""
+        state = dict(self.engine.state)
+        if self.engine.has_split_step:
+            state.pop(Constants.OBSERVATIONS, None)
+            state.pop(Constants.ACTIONS, None)
+        return state
+
     def _maybe_shard_carry(self, carry):
         """
         If the engine carries a device mesh (multi-chip run), place the carry
@@ -297,9 +308,14 @@ class TrainerBase:
             )
             self.current_timestep += steps_per_iter
             self.iters_completed += 1
-            # keep the engine facade pointing at live (non-donated) buffers
+            # keep the engine facade pointing at live (non-donated) buffers;
+            # merge because the fast-path carry omits derived arrays (obs),
+            # which the facade's next force-reset restores from snapshot
             if isinstance(self._carry, dict) and "env_state" in self._carry:
-                self.engine.state = self._carry["env_state"]
+                self.engine.state = {
+                    **self.engine.state,
+                    **self._carry["env_state"],
+                }
 
             log_now = (
                 (iteration + 1) % self.metrics_log_freq == 0

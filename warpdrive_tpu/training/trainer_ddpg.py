@@ -190,7 +190,7 @@ class TrainerDDPG(TrainerBase):
             }
             ou[tag] = jnp.zeros((E, Ap, C), jnp.float32)
         return {
-            "env_state": dict(self.engine.state),
+            "env_state": self._rollout_env_state(),
             "actor": dict(self.params["actor"]),
             "critic": dict(self.params["critic"]),
             # hard-copied so target nets start equal to the online nets
@@ -262,7 +262,7 @@ class TrainerDDPG(TrainerBase):
         trained = list(self.policies_to_train)
 
         def iteration(carry, timestep):
-            rng, k_roll = jax.random.split(carry["rng"])
+            rng, k_roll, k_noise = jax.random.split(carry["rng"], 3)
             step_keys = jax.random.split(k_roll, T)
 
             damping = self.ou_damping.value_at(timestep)
@@ -270,27 +270,52 @@ class TrainerDDPG(TrainerBase):
             scale = self.ou_scale.value_at(timestep)
             actor_params = carry["actor"]
 
-            def rollout_step(rs_carry, key_t):
-                env_state, ou, ep_acc, ep_sum, ep_count = rs_carry
-                k_sample, k_reset = jax.random.split(key_t)
+            # Presample ALL OU gaussian noise for the iteration in one draw
+            # (TPU-first: one (T, E, Ap, C) normal() outside the scan instead
+            # of T small ones inside — cheaper at runtime and keeps
+            # erf-inv lowering out of the compiled loop body).
+            noise_keys = jax.random.split(k_noise, len(policies))
+            ou_noise = {
+                tag: stddev
+                * jax.random.normal(
+                    nk,
+                    (T,) + tuple(carry["ou"][tag].shape),
+                    dtype=jnp.float32,
+                )
+                for nk, tag in zip(noise_keys, policies)
+            }
 
+            def rollout_step(rs_carry, xs):
+                key_t, noise_t = xs
+                env_state, ou, ep_acc, ep_sum, ep_count = rs_carry
+                _, k_reset = jax.random.split(key_t)
+
+                obs_all = (
+                    engine.observe(env_state)
+                    if engine.has_split_step
+                    else env_state[_OBS]
+                )
                 per_policy_actions = {}
                 new_ou = {}
                 rec = {}
-                sample_keys = jax.random.split(k_sample, len(policies))
-                for sk, tag in zip(sample_keys, policies):
-                    obs_p = self._gather_policy_obs(env_state[_OBS], tag)
+                for tag in policies:
+                    obs_p = self._gather_policy_obs(obs_all, tag)
                     mu = self.actor_models[tag].apply(actor_params[tag], obs_p)
                     actions_p, new_ou[tag] = sample_ou_process(
-                        sk, mu, ou[tag],
+                        None, mu, ou[tag],
                         damping=damping, stddev=stddev, scale=scale,
+                        noise=noise_t[tag],
                     )
                     per_policy_actions[tag] = actions_p
                     rec[f"obs_{tag}"] = obs_p
                     rec[f"actions_{tag}"] = actions_p
 
                 actions = self._scatter_actions(per_policy_actions)
-                env_state = engine.step(env_state, actions)
+                env_state = (
+                    engine.step_physics(env_state, actions)
+                    if engine.has_split_step
+                    else engine.step(env_state, actions)
+                )
 
                 rewards = env_state[_REWARDS]
                 done = env_state[_DONE]
@@ -317,7 +342,7 @@ class TrainerDDPG(TrainerBase):
                     carry["ep_sum"],
                     carry["ep_count"],
                 ),
-                step_keys,
+                (step_keys, ou_noise),
             )
 
             # ---- sliding-window replay update (RingBuffer parity) ----------
