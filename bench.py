@@ -70,8 +70,10 @@ def main():
     num_envs = 2000 if on_tpu else 32
     n_steps = 500 if on_tpu else 20
 
+    print(f"[bench] building flagship system ({num_envs} envs)...", file=sys.stderr, flush=True)
     sys_ = build_flagship(num_envs=num_envs, fc_dims=(256, 256), seed=0)
     key = jax.random.PRNGKey(42)
+    print("[bench] compiling + timing env-only rollout...", file=sys.stderr, flush=True)
 
     env_rate = rollout_rate(
         sys_["env_only_step"],
@@ -80,6 +82,7 @@ def main():
         num_envs,
         key,
     )
+    print("[bench] compiling + timing full loop...", file=sys.stderr, flush=True)
     full_rate = rollout_rate(
         sys_["full_loop_step"], sys_["state"], n_steps, num_envs, key,
         params=sys_["params"],

@@ -166,7 +166,11 @@ class EnvEngine:
                     dict(state), actions.astype(act_dtype_)
                 )
 
+            observe_batch = getattr(self.env, "observe_batch_fn", None)
+
             def observe(state: dict) -> jnp.ndarray:
+                if observe_batch is not None:
+                    return observe_batch(dict(state))
                 return jax.vmap(observe_single)(dict(state))
 
             self.step_physics = step_physics

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -202,12 +203,13 @@ class TagContinuous:
     # ------------------------------------------------------------ numpy path
     @property
     def obs_size(self) -> int:
-        k = (
-            (self.num_agents - 1)
-            if self.use_full_observation
-            else self.num_other_agents_observed
-        )
-        return 7 * k + 1
+        """Full-obs mode: channel-major (7 features x N-1 others) + time.
+        kNN mode: slot-major (8 features per neighbor slot: 5 relative +
+        type + still + valid) + time — the slot-major layout keeps the TPU
+        observation kernel free of cross-lane relayouts."""
+        if self.use_full_observation:
+            return 7 * (self.num_agents - 1) + 1
+        return 8 * self.num_other_agents_observed + 1
 
     def _normalized_features(self) -> np.ndarray:
         """(5, N) normalized global state (reference :452-470)."""
@@ -247,9 +249,11 @@ class TagContinuous:
                         [rows.reshape(-1), [np.float32(0.0)]]
                     ).astype(np.float32)
         else:
+            # slot-major kNN layout: for each of the k nearest alive others,
+            # [rel_x, rel_y, rel_speed, rel_acc, rel_dir, type, still, valid]
             k = self.num_other_agents_observed
             if self.timestep == 0:
-                zero = np.zeros(7 * k + 1, dtype=np.float32)
+                zero = np.zeros(8 * k + 1, dtype=np.float32)
                 return {i: zero.copy() for i in range(N)}
             dx = self.loc_x[:, None] - self.loc_x[None, :]
             dy = self.loc_y[:, None] - self.loc_y[None, :]
@@ -258,21 +262,19 @@ class TagContinuous:
             dist[:, self.still_in_the_game == 0] = _BIG
             for i in range(N):
                 if not self.still_in_the_game[i]:
-                    obs[i] = np.zeros(7 * k + 1, dtype=np.float32)
+                    obs[i] = np.zeros(8 * k + 1, dtype=np.float32)
                     continue
                 order = np.argsort(dist[i], kind="stable")[:k]
                 valid = dist[i][order] < _BIG
-                nbrs = order[valid]
-                pad = k - len(nbrs)
-                rel = feats[:, nbrs] - feats[:, i : i + 1]
-                rows = np.vstack(
-                    [
-                        np.hstack([rel, np.zeros((5, pad), np.float32)]),
-                        np.hstack([types[nbrs], np.zeros(pad, np.float32)]),
-                        np.hstack([still[nbrs], np.zeros(pad, np.float32)]),
-                    ]
-                )
-                obs[i] = np.concatenate([rows.reshape(-1), [t_norm]]).astype(
+                slots = np.zeros((k, 8), dtype=np.float32)
+                for s in range(k):
+                    if valid[s]:
+                        j = order[s]
+                        slots[s, :5] = feats[:, j] - feats[:, i]
+                        slots[s, 5] = types[j]
+                        slots[s, 6] = still[j]
+                        slots[s, 7] = 1.0
+                obs[i] = np.concatenate([slots.reshape(-1), [t_norm]]).astype(
                     np.float32
                 )
         return obs
@@ -392,8 +394,18 @@ class TpuTagContinuous(TagContinuous, TpuEnvironmentContext):
         is_runner = jnp.asarray(self.is_runner)
         skill = jnp.asarray(self.skill_levels)
 
-        delta_acc = jnp.asarray(self.acceleration_actions)[actions[:, 0]]
-        delta_turn = jnp.asarray(self.turn_actions)[actions[:, 1]]
+        # action-table lookup as one-hot matvec: TPU lowers data-dependent
+        # gathers to slow serial loops, while a (N, levels) @ (levels,)
+        # product rides the VPU/MXU (cf. the CUDA __constant__ table lookup,
+        # ``tag_continuous_step_pycuda.cu:6``)
+        acc_table = jnp.asarray(self.acceleration_actions)
+        turn_table = jnp.asarray(self.turn_actions)
+        delta_acc = jax.nn.one_hot(
+            actions[:, 0], acc_table.shape[0], dtype=jnp.float32
+        ) @ acc_table
+        delta_turn = jax.nn.one_hot(
+            actions[:, 1], turn_table.shape[0], dtype=jnp.float32
+        ) @ turn_table
 
         # ---- physics (mirrors numpy update_state) -------------------------
         direction = (
@@ -433,9 +445,14 @@ class TpuTagContinuous(TagContinuous, TpuEnvironmentContext):
         tagged = alive & is_runner & (min_d < self.distance_margin_for_reward)
 
         rew = rew + self.tag_penalty_for_runner * tagged.astype(jnp.float32)
-        rew = rew.at[nearest_tagger].add(
-            self.tag_reward_for_tagger * tagged.astype(jnp.float32)
-        )
+        # scatter-add (reward the nearest tagger of each tagged runner) as a
+        # one-hot matvec: rew[t] += Σ_r 1[nearest_tagger[r] == t] * tagged[r]
+        # — replaces the slow TPU scatter lowering (and the reference's
+        # atomicAdd, ``tag_continuous_step_pycuda.cu``) with a dense product
+        tag_credit = jax.nn.one_hot(
+            nearest_tagger, still_i.shape[0], dtype=jnp.float32
+        ).T @ tagged.astype(jnp.float32)
+        rew = rew + self.tag_reward_for_tagger * tag_credit
         if self.runner_exits_game_after_tagged:
             still_i = jnp.where(tagged, 0, still_i).astype(jnp.int32)
 
@@ -462,6 +479,49 @@ class TpuTagContinuous(TagContinuous, TpuEnvironmentContext):
         out[Constants.TIMESTEP] = t
         out[Constants.DONE] = done
         return out
+
+    def observe_batch_fn(self, state: dict) -> jnp.ndarray:
+        """
+        Batched observation over the env axis.  In k-nearest-neighbor mode
+        on TPU this dispatches to the fused Pallas kernel
+        (``ops/knn_obs.py``) — the pure-XLA gather lowering is the
+        simulation bottleneck (~30x slower); elsewhere it falls back to
+        vmapping :meth:`observe_fn`.
+        """
+        use_pallas = (not self.use_full_observation) and jax.devices()[
+            0
+        ].platform == "tpu"
+        if not use_pallas:
+            return jax.vmap(self.observe_fn)(dict(state))
+
+        from warpdrive_tpu.ops.knn_obs import knn_observation
+
+        loc_x = state["loc_x"]
+        loc_y = state["loc_y"]
+        feats = jnp.stack(
+            [
+                loc_x / self.grid_diagonal,
+                loc_y / self.grid_diagonal,
+                state["speed"] / (self.max_speed + _EPS),
+                state["acceleration"] / (self.max_speed + _EPS),
+                state["direction"] / np.float32(2 * np.pi),
+            ],
+            axis=1,
+        )  # (E, 5, N)
+        still_f = state["still_in_the_game"].astype(jnp.float32)
+        t_norm = (
+            state[Constants.TIMESTEP] / self.episode_length
+        ).astype(jnp.float32)
+        return knn_observation(
+            loc_x,
+            loc_y,
+            feats,
+            jnp.asarray(self.agent_types, dtype=jnp.float32),
+            still_f,
+            t_norm,
+            n_agents=self.num_agents,
+            k=self.num_other_agents_observed,
+        )
 
     def observe_fn(self, state: dict) -> jnp.ndarray:
         """Observation of the CURRENT state (single replica): either the
@@ -517,27 +577,34 @@ class TpuTagContinuous(TagContinuous, TpuEnvironmentContext):
                 [gathered.reshape(N, -1), time_col], axis=1
             )
         else:
+            # slot-major kNN layout (see ``obs_size``); squared distances
+            # order identically and skip the sqrt
             k = self.num_other_agents_observed
             dx = loc_x[:, None] - loc_x[None, :]
             dy = loc_y[:, None] - loc_y[None, :]
-            dist = jnp.sqrt(dx**2 + dy**2)
+            dist2 = dx * dx + dy * dy
             d_obs = jnp.where(
-                (jnp.eye(N, dtype=bool)) | (~alive_now)[None, :], _BIG, dist
+                (jnp.eye(N, dtype=bool)) | (~alive_now)[None, :], _BIG, dist2
             )
             neg_top, nbr_idx = lax.top_k(-d_obs, k)  # ascending distance
-            valid = (-neg_top) < _BIG  # (N, k)
+            valid = ((-neg_top) < _BIG).astype(jnp.float32)  # (N, k)
             rel = (
                 feats.T[nbr_idx] - feats.T[:, None, :]
             )  # (N, k, 5): feats.T is (N,5)
-            rel = jnp.where(valid[..., None], rel, 0.0)
-            nbr_types = jnp.where(valid, types_f[nbr_idx], 0.0)
-            nbr_still = jnp.where(valid, still_f[nbr_idx], 0.0)
-            rows = jnp.concatenate(
-                [rel.transpose(0, 2, 1), nbr_types[:, None, :], nbr_still[:, None, :]],
-                axis=1,
-            )  # (N, 7, k)
+            rel = rel * valid[..., None]
+            nbr_types = types_f[nbr_idx] * valid
+            nbr_still = still_f[nbr_idx] * valid
+            slots = jnp.concatenate(
+                [
+                    rel,
+                    nbr_types[..., None],
+                    nbr_still[..., None],
+                    valid[..., None],
+                ],
+                axis=-1,
+            )  # (N, k, 8) — reshape is layout-free (slot-major)
             obs = jnp.concatenate(
-                [rows.reshape(N, -1), jnp.full((N, 1), t_norm)], axis=1
+                [slots.reshape(N, -1), jnp.full((N, 1), t_norm)], axis=1
             )
             obs = jnp.where(alive_now[:, None], obs, 0.0)
 
