@@ -488,9 +488,16 @@ class TpuTagContinuous(TagContinuous, TpuEnvironmentContext):
         simulation bottleneck (~30x slower); elsewhere it falls back to
         vmapping :meth:`observe_fn`.
         """
-        use_pallas = (not self.use_full_observation) and jax.devices()[
-            0
-        ].platform == "tpu"
+        use_pallas = (
+            (not self.use_full_observation)
+            and getattr(self, "pallas_observe", False)
+            and jax.devices()[0].platform == "tpu"
+        )
+        # The Pallas kernel is ~0.1 ms for 2000 envs standalone, but a
+        # pallas_call inside a lax.scan body triggers pathological XLA-TPU
+        # compile times in the current toolchain, so the fused rollout
+        # defaults to the pure-JAX slot-major path; set
+        # ``env.pallas_observe = True`` for out-of-scan callers.
         if not use_pallas:
             return jax.vmap(self.observe_fn)(dict(state))
 

@@ -47,9 +47,14 @@ def _knn_obs_kernel(xy_ref, src_ref, out_ref, *, n_agents: int, k: int):
     """One grid step: a (B, ...) block of envs, fully batched.
 
     xy_ref:  (B, 2, LANE) f32 — loc_x, loc_y (world units)
-    src_ref: (B, LANE, 8) f32 — per-agent channels
-             [5 normalized features, type, still, t_norm]
+    src_ref: (B, 8, LANE) f32 — per-agent channels (channel-sublane,
+             agent-lane): [5 normalized features, type, still, t_norm]
     out_ref: (B, LANE, OBS_PAD) f32 — slot-major obs rows
+
+    Mosaic notes: no scatters, no 3D argmin, and no trailing-axis integer
+    indexing (all of those lower to unsupported gathers) — selection is a
+    min-reduction index trick + one-hot masked reductions, and channels
+    are addressed with rank-preserving slices ``src[:, c:c+1, :]``.
     """
     B = xy_ref.shape[0]
     col_j = jax.lax.broadcasted_iota(jnp.int32, (B, LANE, LANE), 2)
@@ -57,53 +62,63 @@ def _knn_obs_kernel(xy_ref, src_ref, out_ref, *, n_agents: int, k: int):
 
     x = xy_ref[:, 0, :]  # (B, LANE)
     y = xy_ref[:, 1, :]
-    src = src_ref[:]  # (B, LANE, 8)
-    still = src[:, :, 6]  # (B, LANE)
+    src = src_ref[:]  # (B, 8, LANE)
+
+    def chan(c):  # (B, 1, LANE) — broadcastable against (B, LANE, LANE)
+        return src[:, c : c + 1, :]
+
+    def chan_flat(c):  # (B, LANE)
+        return jax.lax.squeeze(src[:, c : c + 1, :], [1])
+
+    still = chan_flat(6)  # (B, LANE)
 
     dx = x[:, :, None] - x[:, None, :]
     dy = y[:, :, None] - y[:, None, :]
     d2 = dx * dx + dy * dy  # (B, LANE, LANE)
 
-    invalid = (
-        (col_j >= n_agents)
-        | (col_j == row_i)
-        | (still[:, None, :] < 0.5)
-    )
+    invalid = (col_j >= n_agents) | (col_j == row_i) | (chan(6) < 0.5)
     d2 = jnp.where(invalid, _BIG, d2)
 
-    blocks = []
-    for _slot in range(k):
+    alive_row = (still >= 0.5).astype(jnp.float32)  # (B, LANE)
+
+    # obs is produced TRANSPOSED — (obs_feature sublanes) x (agent lanes) —
+    # so every computed (B, LANE) vector lands as one sublane row with no
+    # lane<->sublane relayout; the wrapper swaps axes once outside (a plain
+    # XLA transpose at HBM bandwidth)
+    # fori_loop keeps the compiled body at one slot's size (a 10-way
+    # python unroll crashes the Mosaic compiler at this body size); the
+    # per-slot store lands at a dynamic sublane offset.
+    def slot_body(slot, d2):
         m = jnp.min(d2, axis=2)  # (B, LANE)
         valid = (m < _BIG).astype(jnp.float32)  # (B, LANE)
-        # first index attaining the min, via min-reduction over masked
-        # indices (Mosaic has no 3D argmin/gather lowering)
+        # first index attaining the min, via a min-reduction over masked
+        # indices
         cand = jnp.where(d2 <= m[:, :, None], col_j, LANE)
         am = jnp.min(cand, axis=2)  # (B, LANE); == LANE when no valid nbr
 
         onehot = (col_j == am[:, :, None]).astype(jnp.float32)  # (B,L,L)
         # one-hot select per channel: masked reduction over the lane axis
         # (gather-free; the selector is exact so no precision concerns)
-        nbr = [
-            jnp.sum(onehot * src[:, None, :, c], axis=2)  # (B, LANE)
-            for c in range(7)
-        ]
-        rel = [
-            (nbr[c] - src[:, :, c]) * valid for c in range(5)
-        ]
-        slot8 = jnp.stack(
-            rel + [nbr[5] * valid, nbr[6] * valid, valid], axis=2
-        )  # (B, LANE, 8)
-        blocks.append(slot8)
+        nbr = [jnp.sum(onehot * chan(c), axis=2) for c in range(7)]
+        gate = valid * alive_row
+        rows8 = jnp.concatenate(
+            [((nbr[c] - chan_flat(c)) * gate)[:, None, :] for c in range(5)]
+            + [
+                (nbr[5] * gate)[:, None, :],
+                (nbr[6] * gate)[:, None, :],
+                gate[:, None, :],
+            ],
+            axis=1,
+        )  # (B, 8, LANE)
+        out_ref[:, pl.ds(pl.multiple_of(slot * 8, 8), 8), :] = rows8
+        return jnp.where(onehot > 0.5, _BIG, d2)
 
-        d2 = jnp.where(onehot > 0.5, _BIG, d2)
+    jax.lax.fori_loop(0, k, slot_body, d2)
 
-    blocks.append(src[:, :, 7:8])  # time channel
-    pad_cols = out_ref.shape[2] - (8 * k + 1)
-    if pad_cols:
-        blocks.append(jnp.zeros((B, LANE, pad_cols), jnp.float32))
-    obs = jnp.concatenate(blocks, axis=2)
-    obs = obs * (still >= 0.5).astype(jnp.float32)[:, :, None]
-    out_ref[:] = obs
+    out_ref[:, 8 * k : 8 * k + 1, :] = (chan_flat(7) * alive_row)[:, None, :]
+    pad_rows = out_ref.shape[1] - (8 * k + 1)
+    if pad_rows:
+        out_ref[:, 8 * k + 1 :, :] = jnp.zeros((B, pad_rows, LANE), jnp.float32)
 
 
 @functools.partial(
@@ -118,7 +133,7 @@ def knn_observation(
     t_norm: jnp.ndarray,  # (E,)
     n_agents: int,
     k: int,
-    block_envs: int = 8,
+    block_envs: int = 2,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Batched fused kNN observation: returns (E, N, 8*k + 1) float32."""
@@ -148,7 +163,7 @@ def knn_observation(
             ),
         ],
         axis=1,
-    ).transpose(0, 2, 1)  # (E, LANE, 8)
+    )  # (E, 8, LANE): channel-sublane, agent-lane
 
     B = block_envs
     pad_e = (-E) % B
@@ -157,19 +172,21 @@ def knn_observation(
         src = jnp.pad(src, ((0, pad_e), (0, 0), (0, 0)))
     Ep = E + pad_e
 
+    obs_rows_pad = ((obs_dim + 7) // 8) * 8  # sublane multiple
     kernel = functools.partial(_knn_obs_kernel, n_agents=n_agents, k=k)
     out = pl.pallas_call(
         kernel,
         grid=(Ep // B,),
         in_specs=[
             pl.BlockSpec((B, 2, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, LANE, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 8, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (B, LANE, obs_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (B, obs_rows_pad, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((Ep, LANE, obs_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Ep, obs_rows_pad, LANE), jnp.float32),
         interpret=interpret,
     )(xy, src)
 
-    return out[:E, :N, :obs_dim]
+    # one plain XLA transpose back to the (envs, agents, features) contract
+    return jnp.swapaxes(out[:E, :obs_dim, :N], 1, 2)

