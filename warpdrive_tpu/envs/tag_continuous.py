@@ -570,48 +570,76 @@ class TpuTagContinuous(TagContinuous, TpuEnvironmentContext):
                 ],
                 axis=0,
             )  # (7, N_self, N_other)
-            # drop the self column: gather indices j<i -> j, j>=i -> j+1
+            # drop the self column (j<i -> j, j>=i -> j+1) via a CONSTANT
+            # one-hot contraction on the MXU — take_along_axis with a
+            # per-row index table lowers to a serial TPU gather
             idx = jnp.arange(N - 1)[None, :] + (
                 jnp.arange(N - 1)[None, :] >= jnp.arange(N)[:, None]
-            )  # (N, N-1)
-            gathered = jnp.take_along_axis(
-                rows.transpose(1, 0, 2),  # (N_self, 7, N_other)
-                idx[:, None, :],
-                axis=2,
+            )  # (N, N-1), static
+            drop_sel = jax.nn.one_hot(idx, N, dtype=jnp.float32)  # (N,N-1,N)
+            gathered = jnp.einsum(
+                "cin,ikn->ick",
+                rows,
+                drop_sel,
+                precision=lax.Precision.HIGHEST,
             )  # (N, 7, N-1)
             time_col = jnp.where(alive_now, t_norm, 0.0)[:, None]
             obs = jnp.concatenate(
                 [gathered.reshape(N, -1), time_col], axis=1
             )
         else:
-            # slot-major kNN layout (see ``obs_size``); squared distances
-            # order identically and skip the sqrt
+            # slot-major kNN layout (see ``obs_size``), built GATHER-FREE:
+            # k passes of (argmin -> one-hot -> masked-sum select) — the
+            # same algorithm as the Pallas kernel (ops/knn_obs.py), here in
+            # plain XLA where it fuses into elementwise+reduce passes.
+            # TPU lowers data-dependent gathers (feats[idx]) serially, which
+            # made the top_k+gather formulation the simulation bottleneck.
+            # Squared distances order identically and skip the sqrt.
             k = self.num_other_agents_observed
             dx = loc_x[:, None] - loc_x[None, :]
             dy = loc_y[:, None] - loc_y[None, :]
             dist2 = dx * dx + dy * dy
-            d_obs = jnp.where(
+            d2 = jnp.where(
                 (jnp.eye(N, dtype=bool)) | (~alive_now)[None, :], _BIG, dist2
             )
-            neg_top, nbr_idx = lax.top_k(-d_obs, k)  # ascending distance
-            valid = ((-neg_top) < _BIG).astype(jnp.float32)  # (N, k)
-            rel = (
-                feats.T[nbr_idx] - feats.T[:, None, :]
-            )  # (N, k, 5): feats.T is (N,5)
-            rel = rel * valid[..., None]
-            nbr_types = types_f[nbr_idx] * valid
-            nbr_still = still_f[nbr_idx] * valid
-            slots = jnp.concatenate(
+            src8 = jnp.concatenate(
                 [
-                    rel,
-                    nbr_types[..., None],
-                    nbr_still[..., None],
-                    valid[..., None],
+                    feats,  # (5, N)
+                    types_f[None, :],
+                    still_f[None, :],
                 ],
-                axis=-1,
-            )  # (N, k, 8) — reshape is layout-free (slot-major)
+                axis=0,
+            )  # (7, N)
+            col_j = jnp.arange(N)[None, :]  # (1, N)
+            slots = []
+            for _slot in range(k):
+                m = jnp.min(d2, axis=1)  # (N,)
+                valid = (m < _BIG).astype(jnp.float32)
+                am = jnp.argmin(d2, axis=1)  # first index at the min
+                onehot = (col_j == am[:, None]).astype(jnp.float32)  # (N,N)
+                # masked-sum select: nbr[c, i] = src8[c, am[i]]
+                nbr = jnp.einsum(
+                    "ij,cj->ic",
+                    onehot,
+                    src8,
+                    precision=lax.Precision.HIGHEST,
+                )  # (N, 7)
+                rel = (nbr[:, :5] - feats.T) * valid[:, None]
+                slot8 = jnp.concatenate(
+                    [
+                        rel,
+                        nbr[:, 5:6] * valid[:, None],
+                        nbr[:, 6:7] * valid[:, None],
+                        valid[:, None],
+                    ],
+                    axis=1,
+                )  # (N, 8)
+                slots.append(slot8)
+                d2 = jnp.where(onehot > 0.5, _BIG, d2)
+
+            slot_block = jnp.stack(slots, axis=1)  # (N, k, 8) slot-major
             obs = jnp.concatenate(
-                [slots.reshape(N, -1), jnp.full((N, 1), t_norm)], axis=1
+                [slot_block.reshape(N, -1), jnp.full((N, 1), t_norm)], axis=1
             )
             obs = jnp.where(alive_now[:, None], obs, 0.0)
 
