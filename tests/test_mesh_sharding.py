@@ -108,6 +108,69 @@ def test_sharded_a2c_iteration_runs_and_grads_match():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
 
 
+def test_sharded_ddpg_iteration_matches_unsharded():
+    """DDPG's replay-window carry must shard cleanly too."""
+    from warpdrive_tpu.training.trainer_ddpg import TrainerDDPG
+
+    def build(shard: bool):
+        env_cls = env_registrar.get("ClassicControlPendulumEnv", backend="tpu")
+        env = env_cls(episode_length=50, reset_pool_size=0, seed=2)
+        engine = EnvEngine(env_obj=env, num_envs=16, seed=0)
+        if shard:
+            engine = apply_env_sharding(engine, num_devices=8)
+        config = {
+            "trainer": {
+                "num_envs": 16,
+                "num_episodes": 160,
+                "train_batch_size": 64,  # T = 4
+                "n_step": 2,
+                "seed": 23,
+            },
+            "policy": {
+                "shared": {
+                    "to_train": True,
+                    "algorithm": "DDPG",
+                    "gamma": 0.99,
+                    "tau": 0.05,
+                    "lr": {"actor": 1e-3, "critic": 1e-4},
+                    "model": {
+                        "actor": {
+                            "type": "fully_connected_actor",
+                            "fc_dims": [16, 16],
+                            "output_w": 2.0,
+                        },
+                        "critic": {
+                            "type": "fully_connected_action_value_critic",
+                            "fc_dims": [16, 16],
+                        },
+                    },
+                }
+            },
+            "sampler": {"params": {"damping": 0.15, "stddev": 0.2, "scale": 1.0}},
+            "saving": {"basedir": "/tmp/wdtpu_mesh_ddpg", "metrics_log_freq": 1},
+        }
+        return TrainerDDPG(env_wrapper=engine, config=config, verbose=False)
+
+    tr_plain = build(shard=False)
+    tr_shard = build(shard=True)
+    c_plain, m_plain = tr_plain._iteration_fn(
+        tr_plain._carry, jnp.asarray(0.0, jnp.float32)
+    )
+    c_shard, m_shard = tr_shard._iteration_fn(
+        tr_shard._carry, jnp.asarray(0.0, jnp.float32)
+    )
+    np.testing.assert_allclose(
+        float(m_plain["shared"]["Critic loss"]),
+        float(m_shard["shared"]["Critic loss"]),
+        rtol=1e-5,
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(c_plain["actor"]["shared"]),
+        jax.tree_util.tree_leaves(c_shard["actor"]["shared"]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
 def test_dryrun_multichip_entrypoint():
     """The driver's multichip dry run must pass on the virtual mesh."""
     import __graft_entry__
