@@ -286,6 +286,12 @@ class TpuTagGridWorldWithResetPool(TpuTagGridWorld):
 
     POOL_SIZE = 5  # matches the reference demo (tag_gridworld.py:429)
 
+    def __init__(self, *args, reset_pool_size: int = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        if reset_pool_size is not None:
+            assert reset_pool_size >= 2
+            self.POOL_SIZE = int(reset_pool_size)
+
     def _uses_reset_pool(self) -> bool:
         return True
 
