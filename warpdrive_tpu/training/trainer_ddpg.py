@@ -419,9 +419,13 @@ class TrainerDDPG(TrainerBase):
                 c_grads, metrics = jax.grad(critic_loss_fn, has_aux=True)(
                     carry["critic"][tag]
                 )
-                a_grads = jax.grad(actor_loss_fn)(
+                (a_loss, a_grads) = jax.value_and_grad(actor_loss_fn)(
                     carry["actor"][tag], jax.lax.stop_gradient(carry["critic"][tag])
                 )
+                # the critic-side aux metrics computed "Actor loss" from
+                # Q(s, a); report the true -mean Q(s, pi(s)) instead
+                metrics["Actor loss"] = a_loss
+                metrics["Total loss"] = a_loss + metrics["Critic loss"]
 
                 # gate everything on buffer fullness
                 gate = lambda g: jax.tree_util.tree_map(
