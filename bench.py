@@ -63,8 +63,17 @@ def rollout_rate(step_fn, state, n_steps: int, num_envs: int, key,
 
 
 def main():
+    import os
+
+    # BENCH_PLATFORM=cpu forces the CPU backend (smoke tests / no chip)
+    forced = os.environ.get("BENCH_PLATFORM", "")
+    if forced:
+        os.environ["JAX_PLATFORMS"] = forced
+        jax.config.update("jax_platforms", forced)
+
     from warpdrive_tpu.presets import build_flagship
 
+    print("[bench] acquiring device...", file=sys.stderr, flush=True)
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
     num_envs = 2000 if on_tpu else 32
@@ -82,32 +91,40 @@ def main():
         num_envs,
         key,
     )
-    print("[bench] compiling + timing full loop...", file=sys.stderr, flush=True)
-    full_rate = rollout_rate(
-        sys_["full_loop_step"], sys_["state"], n_steps, num_envs, key,
-        params=sys_["params"],
-    )
-
-    print(
-        f"[bench] platform={platform} envs={num_envs} agents={sys_['num_agents']} "
-        f"steps/scan={n_steps}\n"
-        f"[bench] env-only (random actions): {env_rate:,.0f} env-steps/s\n"
-        f"[bench] full loop (policy+sample+step+reset): {full_rate:,.0f} env-steps/s",
-        file=sys.stderr,
-    )
+    # emit the headline JSON line IMMEDIATELY so a timeout during the
+    # (optional) full-loop measurement cannot lose the result
     print(
         json.dumps(
             {
                 "metric": "tag_continuous_env_steps_per_sec",
                 "value": round(env_rate),
                 "unit": "env_steps/s",
-                "vs_baseline": round(env_rate / BASELINE_ENV_STEPS_PER_S, 3),
-                "full_loop_env_steps_per_sec": round(full_rate),
+                "vs_baseline": round(env_rate / BASELINE_ENV_STEPS_PER_S, 4),
                 "num_envs": num_envs,
                 "num_agents": sys_["num_agents"],
                 "platform": platform,
             }
-        )
+        ),
+        flush=True,
+    )
+    print(
+        f"[bench] platform={platform} envs={num_envs} agents={sys_['num_agents']} "
+        f"steps/scan={n_steps}\n"
+        f"[bench] env-only (random actions + obs + reset): "
+        f"{env_rate:,.0f} env-steps/s",
+        file=sys.stderr,
+        flush=True,
+    )
+    print("[bench] compiling + timing full loop...", file=sys.stderr, flush=True)
+    full_rate = rollout_rate(
+        sys_["full_loop_step"], sys_["state"], n_steps, num_envs, key,
+        params=sys_["params"],
+    )
+    print(
+        f"[bench] full loop (policy+sample+step+reset): "
+        f"{full_rate:,.0f} env-steps/s",
+        file=sys.stderr,
+        flush=True,
     )
 
 
