@@ -25,3 +25,30 @@ __version__ = "0.1.0"
 from warpdrive_tpu.utils.constants import Constants
 from warpdrive_tpu.utils.data_feed import DataFeed
 from warpdrive_tpu.utils.env_registrar import EnvironmentRegistrar, env_registrar
+
+
+def __getattr__(name):
+    """Lazy top-level conveniences (avoid importing jax-heavy modules on
+    package import): ``EnvEngine``, ``TrainerA2C``, ``TrainerDDPG``,
+    ``register_all_envs``, ``EnvironmentCPUvsTPU``."""
+    if name == "EnvEngine":
+        from warpdrive_tpu.envs.engine import EnvEngine
+
+        return EnvEngine
+    if name == "TrainerA2C":
+        from warpdrive_tpu.training.trainer_a2c import TrainerA2C
+
+        return TrainerA2C
+    if name == "TrainerDDPG":
+        from warpdrive_tpu.training.trainer_ddpg import TrainerDDPG
+
+        return TrainerDDPG
+    if name == "register_all_envs":
+        from warpdrive_tpu.envs import register_all_envs
+
+        return register_all_envs
+    if name == "EnvironmentCPUvsTPU":
+        from warpdrive_tpu.tools.consistency import EnvironmentCPUvsTPU
+
+        return EnvironmentCPUvsTPU
+    raise AttributeError(f"module 'warpdrive_tpu' has no attribute {name!r}")
