@@ -49,6 +49,38 @@ def test_perform_auto_vertical_scaling_monkeypatched(monkeypatch):
     assert cfg["trainer"]["num_envs"] == 4
 
 
+def test_autoscaler_real_subprocess_probe():
+    """One real probe subprocess: builds the trainer and runs a full tiny
+    iteration on CPU (the same path the OOM search exercises on TPU)."""
+    cfg = {
+        "name": "single_cartpole",
+        "env": {"episode_length": 20, "reset_pool_size": 0, "seed": 1},
+        "trainer": {
+            "num_envs": 4,
+            "train_batch_size": 8,
+            "num_episodes": 40,
+            "seed": 0,
+        },
+        "policy": {
+            "shared": {
+                "to_train": True,
+                "algorithm": "A2C",
+                "gamma": 0.98,
+                "lr": 1e-3,
+                "model": {"type": "fully_connected", "fc_dims": [8]},
+            }
+        },
+        "saving": {
+            "basedir": "/tmp/wdtpu_probe_test",
+            "metrics_log_freq": 10**9,
+            "model_params_save_freq": 10**9,
+        },
+    }
+    assert autoscaler._probe(
+        cfg, ("ClassicControlCartPoleEnv", "single", "a2c"), timeout_s=600
+    )
+
+
 def test_argfix_forwards_deprecated_kwarg():
     from warpdrive_tpu.utils.argument_fix import Argfix
 

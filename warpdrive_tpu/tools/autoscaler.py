@@ -85,6 +85,17 @@ def _probe(run_config: dict, env_setup, timeout_s: int = 900) -> bool:
     ) as f:
         json.dump({"run_config": run_config, "env_setup": list(env_setup)}, f)
         path = f.name
+    env = dict(os.environ)
+    if env.get("JAX_PLATFORMS", "") == "cpu":
+        # CPU probes (tests / machines without a chip) must not run the
+        # TPU-plugin sitecustomize hook: its registration can block on the
+        # device claim at interpreter start, before any user code runs
+        env["PYTHONPATH"] = os.pathsep.join(
+            p
+            for p in env.get("PYTHONPATH", "").split(os.pathsep)
+            if p and "axon" not in p
+        )
+        env.pop("PALLAS_AXON_POOL_IPS", None)
     try:
         proc = subprocess.run(
             [sys.executable, "-c", _PROBE_SNIPPET, path],
@@ -92,6 +103,7 @@ def _probe(run_config: dict, env_setup, timeout_s: int = 900) -> bool:
             text=True,
             timeout=timeout_s,
             check=False,
+            env=env,
         )
         ok = proc.returncode == 0 and "PROBE_OK" in proc.stdout
         if not ok:
