@@ -42,6 +42,16 @@ _REWARDS = Constants.REWARDS
 
 def _stack_agent_obs(obs_dict: dict, agent_ids) -> np.ndarray:
     """Stack a gym-style per-agent obs dict into an (agents, *feat) array."""
+    shapes = {np.asarray(obs_dict[aid]).shape for aid in agent_ids}
+    if len(shapes) > 1:
+        raise NotImplementedError(
+            "heterogeneous per-agent observation shapes "
+            f"({sorted(shapes)}) need per-policy state arrays (the "
+            "reference's create_separate_placeholders_for_each_policy "
+            "mode); pad observations to a common shape with an "
+            "action_mask-style validity channel, or open the agent groups "
+            "as separate envs"
+        )
     return np.stack([np.asarray(obs_dict[aid]) for aid in agent_ids], axis=0)
 
 
