@@ -56,6 +56,11 @@ def test_pendulum_ddpg_trains(tmp_path):
     rews = trainer.evaluate_episodes(num_episodes=1)
     assert np.isfinite(rews[0])
 
+    # episode-state fetching works for the off-policy trainer too
+    traj = trainer.fetch_episode_states(["state"], include_rewards_actions=True)
+    assert traj["state"].shape[0] >= 2
+    assert np.isfinite(traj["rewards"]).all()
+
     # params actually moved (buffer gating did not zero every update):
     # actor and target start equal; with tau < 1 the online net runs ahead
     import jax

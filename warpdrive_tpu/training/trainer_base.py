@@ -414,6 +414,71 @@ class TrainerBase:
     def _rebuild_carry_params(self):  # pragma: no cover - subclass detail
         raise NotImplementedError
 
+    def _act_params(self):
+        """Params pytree consumed by ``self._act_fn`` (subclass detail)."""
+        if self._carry is not None and "params" in self._carry:
+            return self._carry["params"]
+        if self._carry is not None and "actor" in self._carry:
+            return self._carry["actor"]
+        return self.params
+
+    def fetch_episode_states(
+        self,
+        list_of_states: list,
+        env_id: int = 0,
+        include_rewards_actions: bool = False,
+        include_probabilities: bool = False,
+    ):
+        """
+        Step one episode with the current policy, recording the requested
+        state arrays of env ``env_id`` per timestep
+        (reference ``trainer_base.py:689-792``).  Subclasses with
+        probability heads override to add ``include_probabilities``.
+        """
+        assert isinstance(list_of_states, list) and len(list_of_states) > 0
+        assert not include_probabilities, (
+            "include_probabilities is only available on trainers with "
+            "categorical policies (TrainerA2C)"
+        )
+        engine = self.engine
+        for name in list_of_states:
+            assert name in engine.state, f"{name!r} is not a state array"
+        params = self._act_params()
+        T = engine.episode_length
+
+        def body(carry, key_t):
+            st, t = carry
+            actions = self._act_fn(params, st, key_t)
+            st = engine.step(st, actions)
+            rec = {name: st[name][env_id] for name in list_of_states}
+            if include_rewards_actions:
+                rec["_rewards"] = st[Constants.REWARDS][env_id]
+                rec["_actions"] = actions[env_id]
+            rec["_done"] = st[Constants.DONE][env_id]
+            return (st, t + 1), rec
+
+        self.engine.reset_all_envs()
+        state0 = dict(self.engine.state)
+        first = {
+            name: np.asarray(state0[name][env_id]) for name in list_of_states
+        }
+        keys = jax.random.split(self._next_rng(), T)
+        (_, _), recs = jax.jit(
+            lambda s, k: jax.lax.scan(body, (s, 0), k)
+        )(state0, keys)
+
+        done_t = np.asarray(recs["_done"])
+        end = int(np.argmax(done_t > 0)) + 1 if (done_t > 0).any() else T
+        out = {}
+        for name in list_of_states:
+            out[name] = np.concatenate(
+                [first[name][None], np.asarray(recs[name])[:end]], axis=0
+            )
+        if include_rewards_actions:
+            out["rewards"] = np.asarray(recs["_rewards"])[:end]
+            out["actions"] = np.asarray(recs["_actions"])[:end]
+        return out
+
     def profile_phases(self, repeats: int = 3) -> dict:
         """
         Per-phase timing breakdown (reference ``trainer_base.py:383-428``
