@@ -171,6 +171,61 @@ def test_sharded_ddpg_iteration_matches_unsharded():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
 
 
+def test_2d_mesh_tensor_parallel_matches_unsharded():
+    """(env x model) 2-D mesh: params sharded over the model axis must
+    produce the same numbers as the single-device program."""
+    from warpdrive_tpu.parallel.mesh import MODEL_AXIS
+    from warpdrive_tpu.training.trainer_a2c import TrainerA2C
+
+    def build(tp):
+        engine = _build_engine(num_envs=16, seed=0)
+        if tp:
+            engine = apply_env_sharding(engine, num_devices=8, tp=2)
+        config = {
+            "trainer": {
+                "num_envs": 16,
+                "num_episodes": 64,
+                "train_batch_size": 64,
+                "seed": 31,
+            },
+            "policy": {
+                "shared": {
+                    "to_train": True,
+                    "algorithm": "A2C",
+                    "gamma": 0.98,
+                    "lr": 1e-3,
+                    "model": {"type": "fully_connected", "fc_dims": [16, 16]},
+                }
+            },
+            "saving": {"basedir": "/tmp/wdtpu_mesh2d", "metrics_log_freq": 1},
+        }
+        return TrainerA2C(env_wrapper=engine, config=config, verbose=False)
+
+    tr_plain = build(tp=False)
+    tr_tp = build(tp=True)
+
+    # params really are sharded over the model axis
+    kernel = jax.tree_util.tree_leaves(tr_tp._carry["params"]["shared"])
+    assert any(
+        MODEL_AXIS in str(getattr(leaf, "sharding", "")) for leaf in kernel
+    ), "no parameter leaf carries a model-axis sharding"
+
+    c_plain, m_plain = tr_plain._iteration_fn(
+        tr_plain._carry, jnp.asarray(0.0, jnp.float32)
+    )
+    c_tp, m_tp = tr_tp._iteration_fn(tr_tp._carry, jnp.asarray(0.0, jnp.float32))
+    np.testing.assert_allclose(
+        float(m_plain["shared"]["Total loss"]),
+        float(m_tp["shared"]["Total loss"]),
+        rtol=1e-5,
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(c_plain["params"]["shared"]),
+        jax.tree_util.tree_leaves(c_tp["params"]["shared"]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
 def test_dryrun_multichip_entrypoint():
     """The driver's multichip dry run must pass on the virtual mesh."""
     import __graft_entry__

@@ -31,6 +31,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 ENV_AXIS = "env"
+MODEL_AXIS = "model"
 
 
 def make_mesh(num_devices: int = None, devices=None, axis_name: str = ENV_AXIS) -> Mesh:
@@ -50,6 +51,43 @@ def make_mesh(num_devices: int = None, devices=None, axis_name: str = ENV_AXIS) 
         )
         devices = devices[:num_devices]
     return Mesh(np.asarray(devices), (axis_name,))
+
+
+def make_mesh_2d(dp: int, tp: int, devices=None) -> Mesh:
+    """
+    2-D ``(env, model)`` mesh: env replicas sharded over ``dp`` devices x
+    model parameters sharded over ``tp`` devices (tensor parallelism —
+    beyond reference parity, whose MLPs are tiny; useful once policies
+    grow past one chip's HBM).
+    """
+    if devices is None:
+        devices = jax.devices()
+    assert len(devices) >= dp * tp, (
+        f"need {dp * tp} devices for a {dp}x{tp} mesh, have {len(devices)}"
+    )
+    grid = np.asarray(devices[: dp * tp]).reshape(dp, tp)
+    return Mesh(grid, (ENV_AXIS, MODEL_AXIS))
+
+
+def shard_params_tp(params, mesh: Mesh):
+    """
+    Tensor-parallel parameter placement: each weight tensor's largest
+    axis divisible by the ``model`` axis size is sharded over it (column/
+    row parallel Dense layers); XLA inserts the activation collectives.
+    Tensors with no divisible axis stay replicated.
+    """
+    tp = mesh.shape[MODEL_AXIS]
+
+    def place(x):
+        x = jax.numpy.asarray(x)
+        spec = [None] * x.ndim
+        for ax in sorted(range(x.ndim), key=lambda a: -x.shape[a]):
+            if x.shape[ax] % tp == 0 and x.shape[ax] >= tp:
+                spec[ax] = MODEL_AXIS
+                break
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+    return jax.tree_util.tree_map(place, params)
 
 
 def env_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
@@ -78,12 +116,27 @@ def shard_state(state: dict, mesh: Mesh, num_envs: int) -> dict:
     return jax.tree_util.tree_map(place, dict(state))
 
 
+# top-level carry keys holding model/optimizer pytrees (TrainerA2C /
+# TrainerDDPG); on a 2-D mesh these get tensor-parallel placement
+_PARAM_KEYS = (
+    "params",
+    "opt",
+    "actor",
+    "critic",
+    "target_actor",
+    "target_critic",
+    "opt_actor",
+    "opt_critic",
+)
+
+
 def shard_carry(carry, mesh: Mesh, num_envs: int):
     """
-    Place a trainer carry on the mesh with the same rule as
-    :func:`shard_state`: env-batched leaves sharded, everything else
-    (params, optimizer state, rng, scalar accumulators) replicated.
+    Place a trainer carry on the mesh: env-batched leaves sharded over
+    ``env``; on a 2-D mesh, model/optimizer subtrees sharded over
+    ``model`` (tensor parallelism); everything else replicated.
     """
+    has_tp = MODEL_AXIS in mesh.axis_names
 
     def place(x):
         x = jax.numpy.asarray(x)
@@ -91,22 +144,42 @@ def shard_carry(carry, mesh: Mesh, num_envs: int):
             return jax.device_put(x, env_sharding(mesh, x.ndim))
         return jax.device_put(x, replicated(mesh))
 
-    return jax.tree_util.tree_map(place, carry)
+    if not isinstance(carry, dict):
+        return jax.tree_util.tree_map(place, carry)
+
+    out = {}
+    for key, sub in carry.items():
+        if has_tp and key in _PARAM_KEYS:
+            out[key] = shard_params_tp(sub, mesh)
+        else:
+            out[key] = jax.tree_util.tree_map(place, sub)
+    return out
 
 
-def apply_env_sharding(engine, num_devices: int = None, mesh: Mesh = None):
+def apply_env_sharding(
+    engine, num_devices: int = None, mesh: Mesh = None, tp: int = 1
+):
     """
     Attach a mesh to an :class:`EnvEngine` and move its live state onto it.
 
     After this call the engine's ``state`` arrays are distributed; trainers
     detect ``engine.mesh`` and place their carries accordingly, so the whole
     jitted iteration runs SPMD over the mesh.
+
+    :param tp: model-axis size; >1 builds a 2-D ``(env, model)`` mesh with
+        tensor-parallel parameter placement in the trainers.
     """
     if mesh is None:
-        mesh = make_mesh(num_devices=num_devices)
-    n_shards = mesh.devices.size
+        if tp > 1:
+            total = num_devices or len(jax.devices())
+            assert total % tp == 0, f"{total} devices not divisible by tp={tp}"
+            mesh = make_mesh_2d(dp=total // tp, tp=tp)
+        else:
+            mesh = make_mesh(num_devices=num_devices)
+    n_shards = mesh.shape[ENV_AXIS]
     assert engine.n_envs % n_shards == 0, (
-        f"num_envs={engine.n_envs} must divide evenly over {n_shards} devices"
+        f"num_envs={engine.n_envs} must divide evenly over {n_shards} "
+        "env-axis shards"
     )
     engine.mesh = mesh
     engine.state = shard_state(engine.state, mesh, engine.n_envs)
