@@ -130,8 +130,19 @@ class TrainerA2C(TrainerBase):
         if self._carry is not None:
             self._carry["params"] = dict(self.params)
 
-    def _policy_forward(self, tag, params, obs_flat):
-        return self.models[tag].apply(params, obs_flat)
+    def _policy_forward(self, tag, params, obs_flat, action_mask=None):
+        """Model forward; ``action_mask`` (1 keep / 0 forbid, concatenated
+        over action components — reference ``model_base.py:203-213``) drives
+        masked logits when the env exposes an ``action_mask`` state array."""
+        return self.models[tag].apply(params, obs_flat, action_mask=action_mask)
+
+    def _gather_policy_mask(self, env_state, tag):
+        """Per-policy slice of the env's action-mask array, if any."""
+        mask = env_state.get(Constants.ACTION_MASK)
+        if mask is None:
+            return None
+        ids = jnp.asarray(self.policy_tag_to_agent_id_map[tag])
+        return jnp.take(mask, ids, axis=1).astype(jnp.float32)
 
     def _sample_policy_actions(self, tag, key, logits_list, use_argmax=False):
         """One categorical draw per action component -> (E, Ap, C) int32."""
@@ -161,7 +172,10 @@ class TrainerA2C(TrainerBase):
             keys = jax.random.split(key, len(self.policies))
             for k, tag in zip(keys, self.policies):
                 obs_p = self._gather_policy_obs(env_state[_OBS], tag)
-                logits_list, _ = self._policy_forward(tag, params[tag], obs_p)
+                mask_p = self._gather_policy_mask(env_state, tag)
+                logits_list, _ = self._policy_forward(
+                    tag, params[tag], obs_p, action_mask=mask_p
+                )
                 per_policy[tag] = self._sample_policy_actions(
                     tag, k, logits_list, use_argmax=use_argmax
                 )
@@ -194,13 +208,16 @@ class TrainerA2C(TrainerBase):
                 sample_keys = jax.random.split(k_sample, len(policies))
                 for sk, tag in zip(sample_keys, policies):
                     obs_p = self._gather_policy_obs(obs_all, tag)
+                    mask_p = self._gather_policy_mask(env_state, tag)
                     logits_list, _ = self._policy_forward(
-                        tag, params[tag], obs_p
+                        tag, params[tag], obs_p, action_mask=mask_p
                     )
                     actions_p = self._sample_policy_actions(tag, sk, logits_list)
                     per_policy_actions[tag] = actions_p
                     rec[f"obs_{tag}"] = obs_p
                     rec[f"actions_{tag}"] = actions_p
+                    if mask_p is not None:
+                        rec[f"mask_{tag}"] = mask_p
 
                 actions = self._scatter_actions(per_policy_actions)
                 env_state = (
@@ -248,9 +265,14 @@ class TrainerA2C(TrainerBase):
                 rew_b = batch[f"rewards_{tag}"]
                 done_b = batch["done"]
 
+                mask_b = batch.get(f"mask_{tag}")
+
                 def loss_fn(p, tag=tag, obs_b=obs_b, act_b=act_b,
-                            rew_b=rew_b, done_b=done_b, dk=dk, algo=algo):
-                    logits_list, values = self._policy_forward(tag, p, obs_b)
+                            rew_b=rew_b, done_b=done_b, dk=dk, algo=algo,
+                            mask_b=mask_b):
+                    logits_list, values = self._policy_forward(
+                        tag, p, obs_b, action_mask=mask_b
+                    )
                     return algo.compute_loss_and_metrics(
                         timestep,
                         act_b,
