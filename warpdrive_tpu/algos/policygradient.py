@@ -93,7 +93,7 @@ class A2C:
         self.entropy_coeff_schedule = ParamScheduler(entropy_coeff)
 
     # PPO overrides this hook
-    def _policy_loss(self, log_prob, advantages, env_weights):
+    def _policy_loss(self, log_prob, advantages, env_weights, old_log_prob=None):
         return _wmean(-log_prob * advantages, env_weights)
 
     def compute_loss_and_metrics(
@@ -106,6 +106,7 @@ class A2C:
         value_functions_batch,  # (T, E, A) float32 (graph-connected)
         negative_positive_ratio: float = -1.0,
         downsample_key=None,
+        old_log_prob=None,
     ):
         values_detached = jax.lax.stop_gradient(value_functions_batch)
 
@@ -137,7 +138,9 @@ class A2C:
             _wmean(entropy[c], env_w) for c in range(entropy.shape[0])
         )
 
-        policy_loss = self._policy_loss(log_prob, norm_advantages, env_w)
+        policy_loss = self._policy_loss(
+            log_prob, norm_advantages, env_w, old_log_prob=old_log_prob
+        )
 
         vf_coeff_t = self.vf_loss_coeff_schedule.value_at(timestep)
         ent_coeff_t = self.entropy_coeff_schedule.value_at(timestep)
@@ -199,11 +202,14 @@ class PPO(A2C):
         assert 0 <= clip_param <= 1
         self.clip_param = float(clip_param)
 
-    def _policy_loss(self, log_prob, advantages, env_weights):
-        # old_logprob = detached current log-prob (single-epoch PPO,
-        # reference ppo.py:129-136): ratio == 1 in value, grads flow
+    def _policy_loss(self, log_prob, advantages, env_weights, old_log_prob=None):
+        # Default: old_logprob = detached current log-prob (single-epoch
+        # PPO, reference ppo.py:129-136): ratio == 1 in value, grads flow
         # through the unclipped branch only when within the clip band.
-        old_log_prob = jax.lax.stop_gradient(log_prob)
+        # Multi-epoch PPO (beyond reference parity) passes the pre-update
+        # rollout log-probs instead, making the clipped ratio meaningful.
+        if old_log_prob is None:
+            old_log_prob = jax.lax.stop_gradient(log_prob)
         ratio = jnp.exp(log_prob - old_log_prob)
         surr1 = ratio * advantages
         surr2 = (

@@ -49,6 +49,10 @@ class TrainerA2C(TrainerBase):
         self.lr_schedules = {}
         self.optimizers = {}
         self._head_dims = {}
+        # optimizer epochs per iteration batch; >1 enables true multi-epoch
+        # PPO with fixed behavior-policy log-probs (beyond reference parity,
+        # whose PPO is single-epoch, ppo.py:129-136)
+        self.ppo_num_epochs = {}
 
         init_rng = self._next_rng()
         obs0 = self.engine.reset_all_envs()  # builds initial state
@@ -93,6 +97,7 @@ class TrainerA2C(TrainerBase):
                     f"TrainerA2C supports A2C/PPO, got {algo_name!r}"
                 )
 
+            self.ppo_num_epochs[tag] = int(policy_cfg.get("num_epochs", 1))
             self.lr_schedules[tag] = ParamScheduler(policy_cfg.get("lr", 1e-3))
             chain = []
             if policy_cfg.get("clip_grad_norm", True):
@@ -267,7 +272,7 @@ class TrainerA2C(TrainerBase):
 
                 mask_b = batch.get(f"mask_{tag}")
 
-                def loss_fn(p, tag=tag, obs_b=obs_b, act_b=act_b,
+                def loss_fn(p, old_lp=None, tag=tag, obs_b=obs_b, act_b=act_b,
                             rew_b=rew_b, done_b=done_b, dk=dk, algo=algo,
                             mask_b=mask_b):
                     logits_list, values = self._policy_forward(
@@ -282,19 +287,42 @@ class TrainerA2C(TrainerBase):
                         values,
                         negative_positive_ratio=self.neg_pos_env_ratio,
                         downsample_key=dk,
+                        old_log_prob=old_lp,
                     )
 
-                grads, metrics = jax.grad(loss_fn, has_aux=True)(
-                    carry["params"][tag]
-                )
-                updates, new_opt[tag] = self.optimizers[tag].update(
-                    grads, carry["opt"][tag], carry["params"][tag]
-                )
+                num_epochs = self.ppo_num_epochs.get(tag, 1)
                 lr_t = self.lr_schedules[tag].value_at(timestep)
-                updates = jax.tree_util.tree_map(lambda u: u * lr_t, updates)
-                new_params[tag] = optax.apply_updates(
-                    carry["params"][tag], updates
-                )
+                p_cur = carry["params"][tag]
+                opt_cur = carry["opt"][tag]
+                if num_epochs > 1:
+                    # multi-epoch PPO (beyond reference parity): fix the
+                    # behavior-policy log-probs before the first update so
+                    # the clipped ratio is meaningful across epochs
+                    from warpdrive_tpu.algos.policygradient import (
+                        _logp_and_entropy,
+                    )
+
+                    logits0, _ = self._policy_forward(
+                        tag, p_cur, obs_b, action_mask=mask_b
+                    )
+                    old_lp, _ = _logp_and_entropy(logits0, batch[f"actions_{tag}"])
+                    old_lp = jax.lax.stop_gradient(old_lp)
+                else:
+                    old_lp = None
+
+                for _epoch in range(num_epochs):
+                    grads, metrics = jax.grad(loss_fn, has_aux=True)(
+                        p_cur, old_lp
+                    )
+                    updates, opt_cur = self.optimizers[tag].update(
+                        grads, opt_cur, p_cur
+                    )
+                    updates = jax.tree_util.tree_map(
+                        lambda u: u * lr_t, updates
+                    )
+                    p_cur = optax.apply_updates(p_cur, updates)
+                new_params[tag] = p_cur
+                new_opt[tag] = opt_cur
                 metrics["Current timestep"] = timestep
                 metrics["Learning rate"] = lr_t
                 metrics["Gradient norm"] = optax.global_norm(grads)
