@@ -21,7 +21,7 @@ negative logit).
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -45,17 +45,24 @@ class FullyConnected(nn.Module):
     action_scale: float = 1.0
     action_bias: float = 0.0
     include_value_head: bool = True
+    # compute dtype for the matmuls (params stay float32); pass
+    # jnp.bfloat16 on TPU for ~2x MXU throughput when the policy is the
+    # bottleneck (a TPU-first option the reference has no analog for)
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, obs: jnp.ndarray, action_mask: jnp.ndarray = None):
-        x = obs
+        x = obs if self.dtype is None else obs.astype(self.dtype)
         for width in self.fc_dims:
-            x = nn.relu(nn.Dense(width)(x))
+            x = nn.relu(nn.Dense(width, dtype=self.dtype)(x))
 
         if self.is_deterministic:
             # Box action space: bounded deterministic output per component
-            raw = nn.Dense(len(self.output_dims), name="policy_head")(x)
-            combined = self.action_scale * jnp.tanh(raw) + self.action_bias
+            raw = nn.Dense(len(self.output_dims), name="policy_head",
+                           dtype=self.dtype)(x)
+            combined = (
+                self.action_scale * jnp.tanh(raw) + self.action_bias
+            ).astype(jnp.float32)
             heads = [combined[..., i : i + 1] for i in range(len(self.output_dims))]
         else:
             masks = [None] * len(self.output_dims)
@@ -66,14 +73,18 @@ class FullyConnected(nn.Module):
                     start += dim
             heads = [
                 apply_logit_mask(
-                    nn.Dense(dim, name=f"policy_head_{idx}")(x), masks[idx]
+                    nn.Dense(dim, name=f"policy_head_{idx}",
+                             dtype=self.dtype)(x).astype(jnp.float32),
+                    masks[idx],
                 )
                 for idx, dim in enumerate(self.output_dims)
             ]
 
         value = None
         if self.include_value_head:
-            value = nn.Dense(1, name="vf_head")(x)[..., 0]
+            value = nn.Dense(1, name="vf_head", dtype=self.dtype)(x)[
+                ..., 0
+            ].astype(jnp.float32)
         return heads, value
 
 

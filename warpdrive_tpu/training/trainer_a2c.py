@@ -68,9 +68,13 @@ class TrainerA2C(TrainerBase):
 
             model_cfg = policy_cfg["model"]
             model_cls = ModelFactory.create(model_cfg["type"])
+            model_kwargs = {}
+            if model_cfg.get("dtype"):  # e.g. "bfloat16" for MXU throughput
+                model_kwargs["dtype"] = jnp.dtype(model_cfg["dtype"])
             model = model_cls(
                 fc_dims=tuple(model_cfg["fc_dims"]),
                 output_dims=tuple(heads),
+                **model_kwargs,
             )
             self.models[tag] = model
 
