@@ -47,3 +47,14 @@ def test_tag_continuous_1100_agents_steps():
     assert np.isfinite(np.asarray(obs)).all()
     assert np.isfinite(np.asarray(state[Constants.REWARDS])).all()
     assert (np.asarray(state[Constants.TIMESTEP]) == 1).all()
+
+
+def test_cartpole_100k_replicas_step():
+    """100,000 concurrent replicas (reference CHANGELOG v2.7 scale claim)."""
+    env_cls = env_registrar.get("ClassicControlCartPoleEnv", backend="tpu")
+    engine = EnvEngine(
+        env_obj=env_cls(episode_length=10, seed=1), num_envs=100_000, seed=0
+    )
+    out = engine.step_all_envs(np.ones((100_000, 1), np.int32))
+    assert out[Constants.OBSERVATIONS].shape[0] == 100_000
+    assert np.isfinite(np.asarray(out[Constants.REWARDS])).all()
