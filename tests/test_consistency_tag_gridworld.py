@@ -55,5 +55,5 @@ def test_tag_gridworld_a2c_training_smoke(tmp_path):
         cfg, verbose=False, results_dir=str(tmp_path / "res")
     )
     assert trainer.iters_completed == trainer.num_iters
-    rews = trainer.evaluate_episodes(num_episodes=1)
-    assert np.isfinite(rews).all()
+    rew_sum, _ = trainer.evaluate_episodes()
+    assert np.isfinite(rew_sum["shared"]).all()

@@ -8,6 +8,42 @@ from warpdrive_tpu.training.scripts.train import setup_trainer_and_train
 from warpdrive_tpu.utils.config import load_run_config
 
 
+def test_untrained_eval_is_honest(tmp_path):
+    """Round-1 regression: eval used to keep accumulating rewards after an
+    env terminated, so ANY policy scored the episode cap.  With the
+    done-masked accumulator (reference ``trainer_base.py:794-846``) an
+    untrained policy must score roughly the random-policy baseline."""
+    from warpdrive_tpu.envs import register_all_envs
+    from warpdrive_tpu.envs.engine import EnvEngine
+    from warpdrive_tpu.training.trainer_a2c import TrainerA2C
+
+    register_all_envs()
+    cfg = load_run_config("single_cartpole")
+    cfg["trainer"]["num_envs"] = 20
+    cfg["trainer"]["train_batch_size"] = 2000
+    cfg["trainer"]["num_episodes"] = 1000
+    cfg["trainer"]["seed"] = 3
+    cfg["env"]["episode_length"] = 200
+    cfg["env"]["reset_pool_size"] = 0
+    engine = EnvEngine(
+        env_name="ClassicControlCartPoleEnv",
+        env_config={"episode_length": 200, "reset_pool_size": 0, "seed": 4},
+        num_envs=20,
+    )
+    trainer = TrainerA2C(
+        env_wrapper=engine,
+        config=cfg,
+        verbose=False,
+        results_dir=str(tmp_path / "results"),
+    )
+    rew_sum, step_sum = trainer.evaluate_episodes(use_argmax=True)
+    mean_eval = float(rew_sum["shared"].sum(axis=1).mean())
+    # untrained argmax CartPole falls over quickly; the broken round-1 eval
+    # returned exactly the 200-step cap here
+    assert mean_eval < 60, f"eval not honest: untrained policy got {mean_eval}"
+    assert (step_sum["shared"] <= 200).all()
+
+
 def test_cartpole_a2c_trains_and_learns(tmp_path):
     cfg = load_run_config("single_cartpole")
     cfg["trainer"]["num_envs"] = 20
@@ -34,10 +70,17 @@ def test_cartpole_a2c_trains_and_learns(tmp_path):
     ckpts = [f for f in os.listdir(tmp_path / "results") if "state_dict" in f]
     assert any(str(trainer.current_timestep) in c for c in ckpts)
 
-    # the policy learned something: argmax eval should hold the pole
-    # clearly longer than a random policy (~20 steps)
-    rews = trainer.evaluate_episodes(num_episodes=1, use_argmax=True)
-    assert rews[0] > 50, f"no learning signal: eval reward {rews}"
+    # the policy learned something: honest done-masked argmax eval must
+    # clearly beat the untrained baseline measured in
+    # test_untrained_eval_is_honest below (<= ~30 steps)
+    rew_sum, step_sum = trainer.evaluate_episodes(use_argmax=True)
+    mean_eval = float(rew_sum["shared"].sum(axis=1).mean())
+    assert mean_eval > 50, f"no learning signal: eval reward {mean_eval}"
+    # step accounting is consistent with the reward sum on CartPole
+    # (reward 1 per undone step)
+    np.testing.assert_allclose(
+        rew_sum["shared"].sum(axis=1), step_sum["shared"], atol=1e-5
+    )
 
     # fetch_episode_states returns a truncated trajectory
     traj = trainer.fetch_episode_states(["state"], include_rewards_actions=True)

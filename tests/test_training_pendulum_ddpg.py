@@ -53,8 +53,9 @@ def test_pendulum_ddpg_trains(tmp_path):
     assert f"shared_critic_{t}.state_dict" in ckpts
 
     # deterministic (no-noise) evaluation runs and returns finite rewards
-    rews = trainer.evaluate_episodes(num_episodes=1)
-    assert np.isfinite(rews[0])
+    rew_sum, step_sum = trainer.evaluate_episodes()
+    assert np.isfinite(rew_sum["shared"]).all()
+    assert (step_sum["shared"] > 0).all()
 
     # episode-state fetching works for the off-policy trainer too
     traj = trainer.fetch_episode_states(["state"], include_rewards_actions=True)

@@ -36,8 +36,9 @@ def test_tag_continuous_two_policy_training(tmp_path):
     assert any(f.startswith("runner_") for f in files)
     assert any(f.startswith("tagger_") for f in files)
 
-    rews = trainer.evaluate_episodes(num_episodes=1)
-    assert np.isfinite(rews).all()
+    rew_sum, step_sum = trainer.evaluate_episodes()
+    assert all(np.isfinite(rew_sum[p]).all() for p in rew_sum)
+    assert set(rew_sum) == {"runner", "tagger"}
 
     # PPO variant compiles and runs too
     cfg["policy"]["runner"]["algorithm"] = "PPO"

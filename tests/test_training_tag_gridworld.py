@@ -32,8 +32,8 @@ def test_tag_gridworld_a2c_trains(tmp_path):
     assert np.isfinite(metrics["Mean episodic reward"])
 
     # eval + trajectory fetch on the multi-agent env
-    rews = trainer.evaluate_episodes(num_episodes=1)
-    assert np.isfinite(rews[0])
+    rew_sum, _ = trainer.evaluate_episodes()
+    assert np.isfinite(rew_sum["shared"]).all()
     traj = trainer.fetch_episode_states(["loc_x", "loc_y"])
     assert traj["loc_x"].shape[1] == trainer.engine.n_agents
 

@@ -350,37 +350,7 @@ class TrainerA2C(TrainerBase):
         return iteration
 
     # ----------------------------------------------------- eval / fetching
-    def evaluate_episodes(self, num_episodes: int = 1, use_argmax: bool = True):
-        """
-        Run full episodes with the current policy (argmax mode by default) and
-        return per-episode mean episodic rewards
-        (reference ``trainer_base.py:794-846``).
-        """
-        engine = self.engine
-        params = self._carry["params"]
-
-        def episode(env_state, key):
-            def body(carry, key_t):
-                st, acc = carry
-                k_act, k_reset = jax.random.split(key_t)
-                actions = self._act_fn(params, st, k_act, use_argmax=use_argmax)
-                st = engine.step(st, actions)
-                acc = acc + st[_REWARDS]
-                return (st, acc), st[_DONE]
-
-            keys = jax.random.split(key, engine.episode_length)
-            acc0 = jnp.zeros((self.num_envs, engine.n_agents), jnp.float32)
-            (st, acc), dones = jax.lax.scan(body, (env_state, acc0), keys)
-            return st, acc, dones
-
-        episode_rewards = []
-        self.engine.reset_all_envs()
-        state = dict(self.engine.state)
-        for _ in range(num_episodes):
-            state, acc, dones = jax.jit(episode)(state, self._next_rng())
-            episode_rewards.append(float(np.asarray(acc.mean())))
-            state = self.engine.auto_reset(state, self._next_rng(), force=True)
-        return episode_rewards
+    # evaluate_episodes lives in TrainerBase (done-masked, reference parity).
 
     def fetch_episode_states(
         self,

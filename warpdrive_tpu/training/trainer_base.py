@@ -224,6 +224,7 @@ class TrainerBase:
         self.opt_states = {}
         self._iteration_fn = None  # jitted (carry, timestep) -> (carry, metrics)
         self._carry = None
+        self._eval_fns = {}  # use_argmax -> jitted evaluation program
 
         logging.info(
             "TrainerBase: %d envs x %d agents, batch/env=%d, iters=%d, seed=%d",
@@ -327,6 +328,19 @@ class TrainerBase:
                 )
                 elapsed = time.time() - t_start
                 self.perf_stats.add(steps_per_iter, elapsed)
+                if self.use_evaluator:
+                    # test-time evaluator: action randomness removed
+                    # (reference ``trainer_a2c.py:326-339``)
+                    eval_rew, eval_steps = self.evaluate_episodes(
+                        use_argmax=True
+                    )
+                    for tag in metrics_host:
+                        metrics_host[tag]["Mean episodic reward (test)"] = (
+                            float(eval_rew[tag].mean())
+                        )
+                        metrics_host[tag]["Mean episodic steps (test)"] = (
+                            float(eval_steps[tag].mean())
+                        )
                 self._log_metrics(metrics_host)
                 if self.verbose and self._is_lead_process():
                     print(
@@ -421,6 +435,68 @@ class TrainerBase:
         if self._carry is not None and "actor" in self._carry:
             return self._carry["actor"]
         return self.params
+
+    # ------------------------------------------------------------ evaluation
+    def _build_eval_fn(self, use_argmax: bool):
+        """One jitted program: a full evaluation episode over all replicas."""
+        engine = self.engine
+        E, N = self.num_envs, self.engine.n_agents
+
+        def run(params, state0, keys):
+            def body(carry, key_t):
+                st, alive, rew_sum, step_sum = carry
+                actions = self._act_fn(params, st, key_t, use_argmax=use_argmax)
+                st = engine.step(st, actions)
+                # Sticky per-env mask: an env stops accumulating the moment
+                # its done flag fires and never resumes.  This reproduces
+                # reference ``trainer_base.py:794-846``, which accumulates
+                # only where ``_done_ == 0`` (checked after the step) and
+                # soft-resets finished envs WITHOUT undoing done.
+                alive = alive & (st[Constants.DONE] == 0)
+                af = alive.astype(jnp.float32)
+                rew_sum = rew_sum + st[Constants.REWARDS] * af[:, None]
+                step_sum = step_sum + alive.astype(jnp.int32)
+                return (st, alive, rew_sum, step_sum), None
+
+            init = (
+                state0,
+                jnp.ones((E,), dtype=bool),
+                jnp.zeros((E, N), jnp.float32),
+                jnp.zeros((E,), jnp.int32),
+            )
+            (_, _, rew_sum, step_sum), _ = jax.lax.scan(body, init, keys)
+            return rew_sum, step_sum
+
+        return jax.jit(run)
+
+    def evaluate_episodes(self, use_argmax: bool = True):
+        """
+        Deterministic-policy evaluation over all env replicas for one
+        episode (reference ``trainer_base.py:794-846``): argmax actions (or
+        noise-free continuous actions), rewards and steps accumulated per
+        env only while its done flag is still 0.
+
+        Returns ``(episodic_reward_sum, episodic_step_sum)`` — per-policy
+        numpy arrays of shape ``(num_envs, num_agents_for_policy)`` and
+        ``(num_envs,)``, exactly like the reference.
+        """
+        mode = bool(use_argmax)
+        if mode not in self._eval_fns:
+            self._eval_fns[mode] = self._build_eval_fn(mode)
+        self.engine.reset_all_envs()
+        state0 = dict(self.engine.state)
+        keys = jax.random.split(self._next_rng(), self.engine.episode_length)
+        rew_sum, step_sum = self._eval_fns[mode](
+            self._act_params(), state0, keys
+        )
+        rew_sum = np.asarray(rew_sum)
+        step_sum = np.asarray(step_sum)
+        episodic_reward_sum = {}
+        episodic_step_sum = {}
+        for tag, ids in self.policy_tag_to_agent_id_map.items():
+            episodic_reward_sum[tag] = rew_sum[:, ids]
+            episodic_step_sum[tag] = step_sum.copy()
+        return episodic_reward_sum, episodic_step_sum
 
     def fetch_episode_states(
         self,
