@@ -95,3 +95,31 @@ def test_cartpole_a2c_trains_and_learns(tmp_path):
     probs = traj_p["probabilities"]["shared"][0]
     assert probs.shape[-1] == 2  # CartPole has 2 actions
     np.testing.assert_allclose(probs.sum(axis=-1), 1.0, rtol=1e-4)
+
+
+def test_profile_phases_breakdown(tmp_path):
+    """profile_phases returns a real rollout/update split (round-1 gap: it
+    promised rollout_ms/update_ms but returned only iteration_ms)."""
+    cfg = load_run_config("single_cartpole")
+    cfg["trainer"].update(
+        {"num_envs": 10, "train_batch_size": 200, "num_episodes": 100,
+         "seed": 2}
+    )
+    cfg["env"].update({"episode_length": 100, "reset_pool_size": 0})
+    cfg["saving"]["metrics_log_freq"] = 100
+    trainer = setup_trainer_and_train(
+        cfg, verbose=False, results_dir=str(tmp_path / "results")
+    )
+    prof = trainer.profile_phases(repeats=2)
+    for key in ("iteration_ms", "rollout_ms", "update_ms", "steps_per_sec",
+                "rollout_steps_per_sec"):
+        assert key in prof and np.isfinite(prof[key]), prof
+    assert prof["rollout_ms"] > 0
+    # rollout is a strict subset of the iteration; allow slack because CI
+    # machines measure under load
+    assert prof["rollout_ms"] <= prof["iteration_ms"] * 1.5
+    # breakdown must sum to the measured iteration time
+    assert abs(prof["rollout_ms"] + prof["update_ms"] - prof["iteration_ms"]) < 1e-6 * max(prof["iteration_ms"], 1.0) + 1e-3
+    # ... and it feeds the logged perf stats
+    stats = trainer.perf_stats.get_perf_stats()
+    assert "Rollout time per iter (ms)" in stats

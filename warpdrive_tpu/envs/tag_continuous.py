@@ -251,10 +251,14 @@ class TagContinuous:
         else:
             # slot-major kNN layout: for each of the k nearest alive others,
             # [rel_x, rel_y, rel_speed, rel_acc, rel_dir, type, still, valid]
+            # NOTE: real kNN features are computed at EVERY timestep
+            # including t==0 — the warp-drive reference's t==0 "all zeros"
+            # template (``tag_continuous.py:522-545``) is immediately
+            # overwritten with real kNN obs for every agent still in the
+            # game, i.e. all agents at reset.  Round-1 zeroed obs at t==0
+            # here, which diverged from both the reference and the TPU
+            # observe_fn (split-step fast path).
             k = self.num_other_agents_observed
-            if self.timestep == 0:
-                zero = np.zeros(8 * k + 1, dtype=np.float32)
-                return {i: zero.copy() for i in range(N)}
             dx = self.loc_x[:, None] - self.loc_x[None, :]
             dy = self.loc_y[:, None] - self.loc_y[None, :]
             dist = np.sqrt(dx**2 + dy**2).astype(np.float32)

@@ -192,17 +192,14 @@ class TrainerA2C(TrainerBase):
 
         return act
 
-    def _build_iteration_fn(self):
+    def _make_rollout(self):
+        """The rollout scan as a standalone jittable: shared by the fused
+        iteration program and the rollout-only profiling program
+        (``TrainerBase.profile_phases``)."""
         engine = self.engine
-        T = self.training_batch_size_per_env
         policies = list(self.policies)
-        trained = list(self.policies_to_train)
 
-        def iteration(carry, timestep):
-            params = carry["params"]
-            rng, k_roll, k_down = jax.random.split(carry["rng"], 3)
-            step_keys = jax.random.split(k_roll, T)
-
+        def rollout(params, rollout_carry, step_keys):
             def rollout_step(rs_carry, key_t):
                 env_state, ep_acc, ep_sum, ep_count = rs_carry
                 k_sample, k_reset = jax.random.split(key_t)
@@ -252,8 +249,42 @@ class TrainerA2C(TrainerBase):
                 env_state = engine.auto_reset(env_state, k_reset)
                 return (env_state, ep_acc, ep_sum, ep_count), rec
 
-            (env_state, ep_acc, ep_sum, ep_count), batch = jax.lax.scan(
-                rollout_step,
+            return jax.lax.scan(rollout_step, rollout_carry, step_keys)
+
+        return rollout
+
+    def _build_rollout_profile_fn(self):
+        """(carry, rng) -> rollout outputs only; used for phase timing."""
+        rollout = self._make_rollout()
+        T = self.training_batch_size_per_env
+
+        def run(carry, rng):
+            step_keys = jax.random.split(rng, T)
+            return rollout(
+                carry["params"],
+                (
+                    carry["env_state"],
+                    carry["ep_acc"],
+                    carry["ep_sum"],
+                    carry["ep_count"],
+                ),
+                step_keys,
+            )
+
+        return run
+
+    def _build_iteration_fn(self):
+        T = self.training_batch_size_per_env
+        trained = list(self.policies_to_train)
+        rollout = self._make_rollout()
+
+        def iteration(carry, timestep):
+            params = carry["params"]
+            rng, k_roll, k_down = jax.random.split(carry["rng"], 3)
+            step_keys = jax.random.split(k_roll, T)
+
+            (env_state, ep_acc, ep_sum, ep_count), batch = rollout(
+                params,
                 (
                     carry["env_state"],
                     carry["ep_acc"],

@@ -71,29 +71,39 @@ class Metrics:
 class PerfStats:
     """
     Iteration timing and throughput accounting
-    (reference ``trainer_base.py:849-887``).  The fused design times whole
-    iterations; a breakdown run (`jax.profiler`) replaces the reference's
-    per-phase cuda-event timers.
+    (reference ``trainer_base.py:849-887``).
+
+    The jitted iteration dispatches asynchronously, so single-iteration wall
+    times are meaningless mid-stream.  Timing is therefore WINDOW-based: the
+    trainer calls ``add_window`` only at sync points (metric logs), passing
+    the number of iterations/steps completed since the previous sync and the
+    fully-synchronized elapsed wall time — every accumulated second is real
+    device time.  Per-phase breakdown (rollout vs update) comes from
+    ``TrainerBase.profile_phases``, which compiles a rollout-only program.
     """
 
     def __init__(self):
         self.iters = 0
         self.steps = 0
         self.total_time = 0.0
-        self.training_time = 0.0
+        self.training_time = 0.0  # kept for API parity with the reference
+        self.phase_breakdown = {}  # filled by profile_phases, if run
 
-    def add(self, steps: int, elapsed: float):
-        self.iters += 1
+    def add_window(self, iters: int, steps: int, elapsed: float):
+        self.iters += iters
         self.steps += steps
         self.total_time += elapsed
 
     def get_perf_stats(self) -> dict:
         if self.iters == 0:
             return {}
-        return {
+        stats = {
             "Mean total time per iter (ms)": 1000.0 * self.total_time / self.iters,
             "Mean steps per sec (total)": self.steps / max(self.total_time, 1e-9),
         }
+        for k, v in self.phase_breakdown.items():
+            stats[k] = v
+        return stats
 
     def pretty_print(self):
         print("=" * 60)
@@ -302,13 +312,15 @@ class TrainerBase:
         assert self._iteration_fn is not None, "subclass must build the program"
         steps_per_iter = self.training_batch_size_per_env * self.num_envs
 
+        window_start = time.time()
+        window_iters = 0
         for iteration in range(self.iters_completed, self.num_iters):
-            t_start = time.time()
             self._carry, metrics = self._iteration_fn(
                 self._carry, jnp.asarray(self.current_timestep, dtype=jnp.float32)
             )
             self.current_timestep += steps_per_iter
             self.iters_completed += 1
+            window_iters += 1
             # keep the engine facade pointing at live (non-donated) buffers;
             # merge because the fast-path carry omits derived arrays (obs),
             # which the facade's next force-reset restores from snapshot
@@ -323,11 +335,17 @@ class TrainerBase:
                 or iteration == self.num_iters - 1
             )
             if log_now:
+                # force completion of everything dispatched this window so
+                # the elapsed time is fully synchronized device time
                 metrics_host = jax.tree_util.tree_map(
                     lambda x: float(np.asarray(x)), metrics
                 )
-                elapsed = time.time() - t_start
-                self.perf_stats.add(steps_per_iter, elapsed)
+                jax.block_until_ready(jax.tree_util.tree_leaves(self._carry)[0])
+                self.perf_stats.add_window(
+                    window_iters,
+                    window_iters * steps_per_iter,
+                    time.time() - window_start,
+                )
                 if self.use_evaluator:
                     # test-time evaluator: action randomness removed
                     # (reference ``trainer_a2c.py:326-339``)
@@ -349,12 +367,16 @@ class TrainerBase:
                     )
                     self.metrics.pretty_print(metrics_host)
                     self.perf_stats.pretty_print()
-            else:
-                # async dispatch: only count wall time, don't force a sync
-                self.perf_stats.add(steps_per_iter, time.time() - t_start)
 
             if (iteration + 1) % self.model_params_save_freq == 0:
                 self.save_model_checkpoint(self.current_timestep)
+
+            if log_now or (iteration + 1) % self.model_params_save_freq == 0:
+                # evaluation/logging/checkpoint overhead stays OUT of the
+                # next timing window; a checkpoint without a log discards
+                # its window (un-synced timing would be unreliable)
+                window_start = time.time()
+                window_iters = 0
 
         # final checkpoint + sync (reference :374-381)
         jax.block_until_ready(jax.tree_util.tree_leaves(self._carry)[0])
@@ -555,36 +577,60 @@ class TrainerBase:
             out["actions"] = np.asarray(recs["_actions"])[:end]
         return out
 
+    def _build_rollout_profile_fn(self):  # pragma: no cover - subclass detail
+        raise NotImplementedError
+
     def profile_phases(self, repeats: int = 3) -> dict:
         """
-        Per-phase timing breakdown (reference ``trainer_base.py:383-428``
-        times policy eval / action sample / env step with cuda events; the
-        fused design times the jitted iteration as a whole and, separately,
-        a rollout-only program, attributing the remainder to the update).
+        Per-phase timing breakdown.  The reference times policy eval /
+        action sample / env step separately with cuda events
+        (``trainer_base.py:383-428``); the fused design compiles TWO
+        programs — the full iteration and the rollout scan alone (the same
+        code path, via ``_make_rollout``) — and attributes the difference
+        to the model update.
 
-        Returns ms-per-iteration estimates: ``{"iteration_ms", "rollout_ms",
-        "update_ms", "steps_per_sec"}``.
+        Returns ms-per-iteration measurements ``{"iteration_ms",
+        "rollout_ms", "update_ms", "steps_per_sec",
+        "rollout_steps_per_sec"}`` and records them on ``self.perf_stats``
+        so subsequent logs include the breakdown.
         """
-        import jax as _jax
-
         assert self._iteration_fn is not None and self._carry is not None
         steps_per_iter = self.training_batch_size_per_env * self.num_envs
 
-        # full iteration (no donation: reuse carry)
-        undonated = _jax.jit(self._build_iteration_fn())
-        carry = _jax.tree_util.tree_map(jnp.copy, self._carry)
-        out, _ = undonated(carry, jnp.asarray(0.0, jnp.float32))
-        _jax.block_until_ready(_jax.tree_util.tree_leaves(out)[0])
-        t0 = time.time()
-        for _ in range(repeats):
-            out, _ = undonated(carry, jnp.asarray(0.0, jnp.float32))
-        _jax.block_until_ready(_jax.tree_util.tree_leaves(out)[0])
-        iter_ms = (time.time() - t0) * 1000 / repeats
+        def timeit(fn, *args):
+            out = fn(*args)  # compile + warm up
+            jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+            t0 = time.time()
+            for _ in range(repeats):
+                out = fn(*args)
+            jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+            return (time.time() - t0) * 1000 / repeats
 
-        return {
+        # no donation: the timing loop reuses the same carry buffers
+        carry = jax.tree_util.tree_map(jnp.copy, self._carry)
+        iter_ms = timeit(
+            jax.jit(self._build_iteration_fn()),
+            carry,
+            jnp.asarray(0.0, jnp.float32),
+        )
+        rollout_ms = timeit(
+            jax.jit(self._build_rollout_profile_fn()), carry, self._next_rng()
+        )
+        update_ms = max(iter_ms - rollout_ms, 0.0)
+
+        result = {
             "iteration_ms": iter_ms,
+            "rollout_ms": rollout_ms,
+            "update_ms": update_ms,
             "steps_per_sec": steps_per_iter / (iter_ms / 1000.0),
+            "rollout_steps_per_sec": steps_per_iter / (rollout_ms / 1000.0),
         }
+        self.perf_stats.phase_breakdown = {
+            "Rollout time per iter (ms)": rollout_ms,
+            "Update time per iter (ms)": update_ms,
+            "Rollout steps per sec": result["rollout_steps_per_sec"],
+        }
+        return result
 
     def graceful_close(self):
         """No curand heap to free on TPU (reference ``:681-687``); sync only."""

@@ -254,37 +254,15 @@ class TrainerDDPG(TrainerBase):
         return act
 
     # ------------------------------------------------------------- program
-    def _build_iteration_fn(self):
+    def _make_rollout(self):
+        """The OU-noise rollout scan as a standalone jittable: shared by the
+        fused iteration program and the rollout-only profiling program
+        (``TrainerBase.profile_phases``)."""
         engine = self.engine
-        T = self.training_batch_size_per_env
-        cap = self.buffer_capacity
         policies = list(self.policies)
-        trained = list(self.policies_to_train)
 
-        def iteration(carry, timestep):
-            rng, k_roll, k_noise = jax.random.split(carry["rng"], 3)
-            step_keys = jax.random.split(k_roll, T)
-
-            damping = self.ou_damping.value_at(timestep)
-            stddev = self.ou_stddev.value_at(timestep)
-            scale = self.ou_scale.value_at(timestep)
-            actor_params = carry["actor"]
-
-            # Presample ALL OU gaussian noise for the iteration in one draw
-            # (TPU-first: one (T, E, Ap, C) normal() outside the scan instead
-            # of T small ones inside — cheaper at runtime and keeps
-            # erf-inv lowering out of the compiled loop body).
-            noise_keys = jax.random.split(k_noise, len(policies))
-            ou_noise = {
-                tag: stddev
-                * jax.random.normal(
-                    nk,
-                    (T,) + tuple(carry["ou"][tag].shape),
-                    dtype=jnp.float32,
-                )
-                for nk, tag in zip(noise_keys, policies)
-            }
-
+        def rollout(actor_params, rollout_carry, step_keys, ou_noise,
+                    damping, stddev, scale):
             def rollout_step(rs_carry, xs):
                 key_t, noise_t = xs
                 env_state, ou, ep_acc, ep_sum, ep_count = rs_carry
@@ -333,8 +311,39 @@ class TrainerDDPG(TrainerBase):
                 env_state = engine.auto_reset(env_state, k_reset)
                 return (env_state, new_ou, ep_acc, ep_sum, ep_count), rec
 
-            (env_state, ou, ep_acc, ep_sum, ep_count), rows = jax.lax.scan(
-                rollout_step,
+            return jax.lax.scan(
+                rollout_step, rollout_carry, (step_keys, ou_noise)
+            )
+
+        return rollout
+
+    def _presample_ou_noise(self, carry, k_noise, stddev):
+        """One (T, E, Ap, C) normal() draw per policy OUTSIDE the scan
+        (TPU-first: keeps erf-inv lowering out of the compiled loop body)."""
+        T = self.training_batch_size_per_env
+        noise_keys = jax.random.split(k_noise, len(self.policies))
+        return {
+            tag: stddev
+            * jax.random.normal(
+                nk, (T,) + tuple(carry["ou"][tag].shape), dtype=jnp.float32
+            )
+            for nk, tag in zip(noise_keys, self.policies)
+        }
+
+    def _build_rollout_profile_fn(self):
+        """(carry, rng) -> rollout outputs only; used for phase timing."""
+        rollout = self._make_rollout()
+        T = self.training_batch_size_per_env
+
+        def run(carry, rng):
+            k_roll, k_noise = jax.random.split(rng)
+            step_keys = jax.random.split(k_roll, T)
+            damping = self.ou_damping.value_at(0.0)
+            stddev = self.ou_stddev.value_at(0.0)
+            scale = self.ou_scale.value_at(0.0)
+            ou_noise = self._presample_ou_noise(carry, k_noise, stddev)
+            return rollout(
+                carry["actor"],
                 (
                     carry["env_state"],
                     carry["ou"],
@@ -342,7 +351,38 @@ class TrainerDDPG(TrainerBase):
                     carry["ep_sum"],
                     carry["ep_count"],
                 ),
-                (step_keys, ou_noise),
+                step_keys, ou_noise, damping, stddev, scale,
+            )
+
+        return run
+
+    def _build_iteration_fn(self):
+        T = self.training_batch_size_per_env
+        cap = self.buffer_capacity
+        policies = list(self.policies)
+        trained = list(self.policies_to_train)
+        rollout = self._make_rollout()
+
+        def iteration(carry, timestep):
+            rng, k_roll, k_noise = jax.random.split(carry["rng"], 3)
+            step_keys = jax.random.split(k_roll, T)
+
+            damping = self.ou_damping.value_at(timestep)
+            stddev = self.ou_stddev.value_at(timestep)
+            scale = self.ou_scale.value_at(timestep)
+
+            ou_noise = self._presample_ou_noise(carry, k_noise, stddev)
+
+            (env_state, ou, ep_acc, ep_sum, ep_count), rows = rollout(
+                carry["actor"],
+                (
+                    carry["env_state"],
+                    carry["ou"],
+                    carry["ep_acc"],
+                    carry["ep_sum"],
+                    carry["ep_count"],
+                ),
+                step_keys, ou_noise, damping, stddev, scale,
             )
 
             # ---- sliding-window replay update (RingBuffer parity) ----------
