@@ -12,6 +12,8 @@ def register_all_envs():
         "warpdrive_tpu.envs.classic_control.acrobot",
         "warpdrive_tpu.envs.tag_gridworld",
         "warpdrive_tpu.envs.tag_continuous",
+        "warpdrive_tpu.envs.asymmetric_pursuit",
+        "warpdrive_tpu.envs.dummy_env",
     ):
         try:
             __import__(mod)

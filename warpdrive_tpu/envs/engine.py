@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from warpdrive_tpu.core.reset import make_auto_reset_fn
+from warpdrive_tpu.utils.argument_fix import Argfix
 from warpdrive_tpu.core.state import StateStore
 from warpdrive_tpu.envs.base import TpuEnvironmentContext
 from warpdrive_tpu.utils.constants import Constants
@@ -40,24 +41,21 @@ _ACTIONS = Constants.ACTIONS
 _REWARDS = Constants.REWARDS
 
 
-def _stack_agent_obs(obs_dict: dict, agent_ids) -> np.ndarray:
-    """Stack a gym-style per-agent obs dict into an (agents, *feat) array."""
-    shapes = {np.asarray(obs_dict[aid]).shape for aid in agent_ids}
-    if len(shapes) > 1:
-        raise NotImplementedError(
-            "heterogeneous per-agent observation shapes "
-            f"({sorted(shapes)}) need per-policy state arrays (the "
-            "reference's create_separate_placeholders_for_each_policy "
-            "mode); pad observations to a common shape with an "
-            "action_mask-style validity channel, or open the agent groups "
-            "as separate envs"
-        )
-    return np.stack([np.asarray(obs_dict[aid]) for aid in agent_ids], axis=0)
+def _infer_agent_space(example_obs):
+    """Box for array obs; DictSpace of Boxes for dict obs."""
+    from warpdrive_tpu.utils.spaces import recursive_obs_dict_to_spaces_dict
+
+    if isinstance(example_obs, dict):
+        return recursive_obs_dict_to_spaces_dict(example_obs)
+    arr = np.asarray(example_obs)
+    return Box(-np.inf, np.inf, shape=arr.shape)
 
 
 class EnvEngine:
     """Vectorized TPU environment engine over ``num_envs`` replicas."""
 
+    # back-compat rename, mirroring reference ``env_wrapper.py:45``
+    @Argfix(old_name="use_cuda", new_name="env_backend")
     def __init__(
         self,
         env_obj: TpuEnvironmentContext = None,
@@ -67,6 +65,9 @@ class EnvEngine:
         env_backend: str = "tpu",
         env_registrar=None,
         seed: int = 0,
+        policy_tag_to_agent_id_map: dict = None,
+        create_separate_placeholders_for_each_policy: bool = False,
+        obs_dim_corresponding_to_num_agents: str = "first",
     ):
         assert env_backend == "tpu", (
             "EnvEngine compiles the TPU backend; for the numpy reference "
@@ -93,11 +94,29 @@ class EnvEngine:
             self.env.observation_space, dict
         ):
             self.env.observation_space = {
-                aid: Box(-np.inf, np.inf, shape=np.asarray(obs[aid]).shape)
-                for aid in self._agent_ids
+                aid: _infer_agent_space(obs[aid]) for aid in self._agent_ids
             }
         self.action_space = self.env.action_space
         self.observation_space = self.env.observation_space
+
+        # --- placeholder-mode bookkeeping (reference data_loader.py:30-267) -
+        self.create_separate_placeholders_for_each_policy = bool(
+            create_separate_placeholders_for_each_policy
+        )
+        self.separate_placeholders = self.create_separate_placeholders_for_each_policy
+        self.obs_dim_corresponding_to_num_agents = obs_dim_corresponding_to_num_agents
+        if policy_tag_to_agent_id_map is not None:
+            self._policy_ids = {
+                tag: np.asarray(sorted(int(i) for i in ids), dtype=np.int32)
+                for tag, ids in policy_tag_to_agent_id_map.items()
+            }
+        else:
+            self._policy_ids = None
+        if self.separate_placeholders:
+            assert self._policy_ids is not None, (
+                "create_separate_placeholders_for_each_policy requires "
+                "policy_tag_to_agent_id_map at engine construction"
+            )
 
         # --- build the batched device state ---------------------------------
         self.store = StateStore(
@@ -112,61 +131,99 @@ class EnvEngine:
         if pool_feed:
             self.store.push(pool_feed)
 
-        placeholder_feed = DataFeed()
-        # observations placeholder, restored at reset (reference
-        # data_loader.py:333-385 pushes obs with save_copy=True)
-        stacked = _stack_agent_obs(obs, self._agent_ids).astype(np.float32)
-        placeholder_feed.add_data(
-            name=_OBS, data=stacked, save_copy_and_apply_at_reset=True
+        # observation/action/reward placeholders (shared or per-policy,
+        # Box or Dict obs) — reference ``data_loader.py:30-267``
+        from warpdrive_tpu.training.data_loader import (
+            create_and_push_data_placeholders,
         )
-        # rewards placeholder (reference data_loader.py:607-623)
-        placeholder_feed.add_data(
-            name=_REWARDS, data=np.zeros((self.n_agents,), dtype=np.float32)
+
+        placeholder_meta = create_and_push_data_placeholders(
+            self.store,
+            obs,
+            self.observation_space,
+            self.action_space,
+            policy_tag_to_agent_id_map={
+                tag: ids.tolist() for tag, ids in (self._policy_ids or {}).items()
+            }
+            if self._policy_ids is not None
+            else None,
+            create_separate_placeholders_for_each_policy=self.separate_placeholders,
+            obs_dim_corresponding_to_num_agents=(
+                self.obs_dim_corresponding_to_num_agents
+            ),
         )
-        # sampled-actions placeholder (reference data_loader.py:420-509)
-        a_space = self.action_space[self._agent_ids[0]]
-        if isinstance(a_space, Discrete):
-            num_action_types, act_dtype = 1, np.int32
-        elif isinstance(a_space, MultiDiscrete):
-            num_action_types, act_dtype = len(a_space.nvec), np.int32
-        elif isinstance(a_space, Box):
-            num_action_types, act_dtype = int(a_space.shape[0]), np.float32
-        else:
-            raise NotImplementedError(f"unsupported action space {a_space!r}")
-        self.num_action_types = num_action_types
-        placeholder_feed.add_data(
-            name=_ACTIONS,
-            data=np.zeros((self.n_agents, num_action_types), dtype=act_dtype),
+        self.placeholder_groups = placeholder_meta["groups"]
+        shared_group = self.placeholder_groups.get(None)
+        # shared-mode conveniences (None when separate placeholders are used)
+        self.obs_mode = shared_group["mode"] if shared_group else None
+        self.obs_keys = shared_group["keys"] if shared_group else None
+        self.num_action_types = (
+            shared_group["action"][0] if shared_group else None
         )
-        self.store.push(placeholder_feed)
 
         # --- pure compiled programs -----------------------------------------
         self.auto_reset = make_auto_reset_fn(self.store.snapshot, self.store.pools)
 
         env_step_single = self.env.step_fn
 
-        def step(state: dict, actions=None) -> dict:
-            """Pure batched step: write actions placeholder, vmap the env."""
-            if actions is not None:
-                actions = jnp.asarray(actions)
-                if actions.ndim == 2:  # (envs, agents) -> add action-type axis
-                    actions = actions[..., None]
-                state = dict(state)
-                state[_ACTIONS] = actions.astype(state[_ACTIONS].dtype)
-            return jax.vmap(env_step_single)(state)
+        def write_actions(state: dict, actions) -> dict:
+            """Write sampled actions into the placeholder(s).
 
+            ``actions`` is (envs, agents[, C]) covering ALL agents, or — in
+            separate-placeholder mode — a dict ``{policy_tag: (envs, A_p,
+            C)}`` (reference env kernels read ``sampled_actions_<policy>``
+            arrays, ``data_loader.py:420-509``)."""
+            state = dict(state)
+            if self.separate_placeholders:
+                if isinstance(actions, dict):
+                    for tag, a in actions.items():
+                        a = jnp.asarray(a)
+                        if a.ndim == 2:
+                            a = a[..., None]
+                        name = f"{_ACTIONS}_{tag}"
+                        state[name] = a.astype(state[name].dtype)
+                else:
+                    a = jnp.asarray(actions)
+                    if a.ndim == 2:
+                        a = a[..., None]
+                    for tag, ids in self._policy_ids.items():
+                        name = f"{_ACTIONS}_{tag}"
+                        C = state[name].shape[-1]
+                        state[name] = jnp.take(a, jnp.asarray(ids), axis=1)[
+                            ..., :C
+                        ].astype(state[name].dtype)
+            else:
+                a = jnp.asarray(actions)
+                if a.ndim == 2:  # (envs, agents) -> add action-type axis
+                    a = a[..., None]
+                state[_ACTIONS] = a.astype(state[_ACTIONS].dtype)
+            return state
+
+        def step(state: dict, actions=None) -> dict:
+            """Pure batched step: write actions placeholder(s), vmap the env."""
+            if actions is not None:
+                state = write_actions(state, actions)
+            return jax.vmap(env_step_single)(dict(state))
+
+        self.write_actions = write_actions
         self.step = step
         self._jit_step = jax.jit(step)
 
         # --- split-step fast path (see TpuEnvironmentContext): physics and
         # observation as separate vmapped pure functions, so trainers can
         # carry only the physical state and let XLA fuse the observation
-        # build straight into the policy forward ---------------------------
+        # build straight into the policy forward.  (Currently implemented by
+        # shared-placeholder Box-obs envs; dict/separate envs use the full
+        # step path.) --------------------------------------------------------
         self.has_split_step = bool(getattr(self.env, "has_split_step", False))
         if self.has_split_step:
+            assert self.obs_mode == "box" and not self.separate_placeholders, (
+                "split-step fast path currently requires the shared Box "
+                "observations placeholder"
+            )
             physics_single = self.env.physics_fn
             observe_single = self.env.observe_fn
-            act_dtype_ = act_dtype
+            act_dtype_ = np.dtype(shared_group["action"][1])
 
             def step_physics(state: dict, actions) -> dict:
                 actions = jnp.asarray(actions)
@@ -199,21 +256,70 @@ class EnvEngine:
         self._host_key = jax.random.PRNGKey(self._seed + 1_000_003)
         self._first_reset_done = False
 
+    # ------------------------------------------------- placeholder name maps
+    def group_info(self, tag: str = None) -> dict:
+        """Placeholder-group metadata ``{"mode", "keys", "action"}`` for a
+        policy tag (separate mode) or the shared group."""
+        if self.separate_placeholders:
+            assert tag is not None, "separate mode needs a policy tag"
+            return self.placeholder_groups[tag]
+        return self.placeholder_groups[None]
+
+    def obs_entry_names(self, tag: str = None) -> list:
+        """State-array names holding observations: ``observations`` /
+        ``observations_<key>`` (shared) or ``observations_<tag>[_<key>]``
+        (separate mode; ``tag`` required)."""
+        group = self.group_info(tag)
+        suffix = f"_{tag}" if self.separate_placeholders else ""
+        if group["mode"] == "box":
+            return [_OBS + suffix]
+        return [f"{_OBS}{suffix}_{key}" for key in group["keys"]]
+
+    def reward_entry_names(self) -> list:
+        if self.separate_placeholders:
+            return [f"{_REWARDS}_{tag}" for tag in sorted(self._policy_ids)]
+        return [_REWARDS]
+
+    def rewards_of(self, state: dict) -> jnp.ndarray:
+        """All-agent rewards (envs, n_agents); separate-mode per-policy
+        arrays are scatter-merged on the agent axis."""
+        if not self.separate_placeholders:
+            return state[_REWARDS]
+        out = jnp.zeros((self.n_envs, self.n_agents), jnp.float32)
+        for tag, ids in self._policy_ids.items():
+            out = out.at[:, jnp.asarray(ids)].set(state[f"{_REWARDS}_{tag}"])
+        return out
+
+    def _obs_view(self) -> "np.ndarray | dict":
+        """Host view of the obs placeholders: one array for the shared-Box
+        mode, else ``{state_name: array}``."""
+        if self.obs_mode == "box" and not self.separate_placeholders:
+            return np.asarray(self.state[_OBS])
+        names = []
+        if self.separate_placeholders:
+            for tag in sorted(self._policy_ids):
+                names += self.obs_entry_names(tag)
+        else:
+            names = self.obs_entry_names()
+        return {name: np.asarray(self.state[name]) for name in names}
+
     # ------------------------------------------------------- stateful facade
     def _next_key(self):
         self._host_key, sub = jax.random.split(self._host_key)
         return sub
 
-    def reset_all_envs(self) -> np.ndarray:
+    def reset_all_envs(self):
         """
         Force-reset every replica and return the batched observations
         (cf. reference ``env_wrapper.py:264-353``).  The very first call
         returns the initial state as-built (host reset already applied).
+        Returns one (envs, agents, *feat) array in the default shared-Box
+        mode, else a dict of obs placeholder arrays by state name.
         """
         if self._first_reset_done:
             self.state = self._jit_force_reset(self.state, self._next_key())
         self._first_reset_done = True
-        return np.asarray(self.state[_OBS])
+        return self._obs_view()
 
     def reset_only_done_envs(self):
         """Soft reset of finished replicas only (``env_wrapper.py:358-374``)."""
@@ -222,21 +328,36 @@ class EnvEngine:
 
     def step_all_envs(self, actions) -> dict:
         """
-        Step every replica with ``actions`` of shape (envs, agents[,A]) and
-        return views of obs/rew/done (``env_wrapper.py:380-390``).
+        Step every replica with ``actions`` of shape (envs, agents[,A]) —
+        or, in separate-placeholder mode, a dict ``{policy: (envs, A_p, C)}``
+        — and return views of obs/rew/done (``env_wrapper.py:380-390``).
         """
         assert self.env_backend == "tpu"
-        self.state = self._jit_step(self.state, jnp.asarray(actions))
-        return {
-            _OBS: self.state[_OBS],
-            _REWARDS: self.state[_REWARDS],
-            Constants.DONE: self.state[Constants.DONE],
-        }
+        if not isinstance(actions, dict):
+            actions = jnp.asarray(actions)
+        self.state = self._jit_step(self.state, actions)
+        out = {Constants.DONE: self.state[Constants.DONE]}
+        if self.obs_mode == "box" and not self.separate_placeholders:
+            out[_OBS] = self.state[_OBS]
+        else:
+            out.update(self._obs_view())
+        for name in self.reward_entry_names():
+            out[name] = self.state[name]
+        return out
 
     # gym-style aliases (reference env_wrapper.py:398-408)
     def reset(self):
         return self.reset_all_envs()
 
-    def obs_at_reset(self) -> np.ndarray:
-        """Single-env at-reset observation (reference ``env_wrapper.py:392-396``)."""
-        return np.asarray(self.store.snapshot[_OBS])
+    def obs_at_reset(self):
+        """Single-env at-reset observation(s) (reference
+        ``env_wrapper.py:392-396``)."""
+        if self.obs_mode == "box" and not self.separate_placeholders:
+            return np.asarray(self.store.snapshot[_OBS])
+        names = []
+        if self.separate_placeholders:
+            for tag in sorted(self._policy_ids):
+                names += self.obs_entry_names(tag)
+        else:
+            names = self.obs_entry_names()
+        return {name: np.asarray(self.store.snapshot[name]) for name in names}

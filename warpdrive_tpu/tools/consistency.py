@@ -9,6 +9,15 @@ pushing IDENTICAL random actions into both, and assert per-step observations,
 rewards and done flags agree within a threshold (1% relative-or-absolute,
 cf. reference ``:542-579``), including across done-driven auto-resets.
 
+Supports every placeholder mode (like the reference checker's
+``policy_tag_to_agent_id_map`` / ``create_separate_placeholders_for_each_
+policy`` / ``obs_dim_corresponding_to_num_agents`` arguments):
+
+* shared Box observations (the default),
+* Dict observations (one ``observations_<key>`` array per key),
+* separate per-policy placeholders for heterogeneous obs/action spaces,
+* agent-dim-first or agent-dim-last observation layouts.
+
 Because pure-JAX envs also run on CPU, this check needs no accelerator and
 runs in CI; it doubles as the race-condition/fusion-correctness oracle the
 reference relies on (SURVEY §5).
@@ -52,6 +61,11 @@ class EnvironmentCPUvsTPU:
     :param num_envs: replicas to run (each CPU env is an independent object).
     :param num_episodes: episodes to run; >= 2 exercises auto-reset
         (cf. reference ``:106-109``).
+    :param policy_tag_to_agent_id_map / create_separate_placeholders_for_
+        each_policy / obs_dim_corresponding_to_num_agents: placeholder-mode
+        arguments forwarded to the engine (reference checker ``:72-103``).
+        If separate mode is requested without a map and the TPU env class
+        offers ``policy_map()``, that is used.
     """
 
     def __init__(
@@ -62,6 +76,9 @@ class EnvironmentCPUvsTPU:
         num_envs: int = 3,
         num_episodes: int = 2,
         use_gpu_testing_mode: bool = False,  # accepted for API parity; unused
+        policy_tag_to_agent_id_map: dict = None,
+        create_separate_placeholders_for_each_policy: bool = False,
+        obs_dim_corresponding_to_num_agents: str = "first",
         **kwargs,
     ):
         self.cpu_env_class = cpu_env_class
@@ -69,6 +86,13 @@ class EnvironmentCPUvsTPU:
         self.env_configs = env_configs
         self.num_envs = num_envs
         self.num_episodes = num_episodes
+        self.policy_tag_to_agent_id_map = policy_tag_to_agent_id_map
+        self.create_separate_placeholders_for_each_policy = bool(
+            create_separate_placeholders_for_each_policy
+        )
+        self.obs_dim_corresponding_to_num_agents = (
+            obs_dim_corresponding_to_num_agents
+        )
 
     # ------------------------------------------------------------------ run
     def test_env_reset_and_step(self, threshold_pct: float = 1.0, seed: int = 17):
@@ -80,44 +104,62 @@ class EnvironmentCPUvsTPU:
 
         cpu_envs = [self.cpu_env_class(**config) for _ in range(self.num_envs)]
         tpu_env = self.tpu_env_class(**config)
-        engine = EnvEngine(env_obj=tpu_env, num_envs=self.num_envs, seed=seed)
+        pmap = self.policy_tag_to_agent_id_map
+        if pmap is None and self.create_separate_placeholders_for_each_policy:
+            assert hasattr(tpu_env, "policy_map"), (
+                "separate mode needs policy_tag_to_agent_id_map (or a "
+                "policy_map() method on the env)"
+            )
+            pmap = tpu_env.policy_map()
+        engine = EnvEngine(
+            env_obj=tpu_env,
+            num_envs=self.num_envs,
+            seed=seed,
+            policy_tag_to_agent_id_map=pmap,
+            create_separate_placeholders_for_each_policy=(
+                self.create_separate_placeholders_for_each_policy
+            ),
+            obs_dim_corresponding_to_num_agents=(
+                self.obs_dim_corresponding_to_num_agents
+            ),
+        )
 
         agent_ids = engine._agent_ids
         n_agents = engine.n_agents
-        action_space = engine.action_space[agent_ids[0]]
 
-        obs_tpu = engine.reset_all_envs()
+        engine.reset_all_envs()
         obs_cpu = [e.reset() for e in cpu_envs]
-        self._compare_obs(obs_cpu, obs_tpu, agent_ids, threshold_pct,
-                          f"{scenario}: obs at reset")
+        self._compare_all_obs(engine, obs_cpu, threshold_pct,
+                              f"{scenario}: obs at reset")
 
         episode_length = engine.episode_length
         total_steps = self.num_episodes * episode_length
 
         for t in range(total_steps):
-            actions = self._draw_actions(rng, action_space, n_agents)
+            draws = self._draw_actions_per_agent(rng, engine)
 
             # CPU side
             cpu_obs_list, cpu_rew_list, cpu_done_list = [], [], []
             for env_id, env in enumerate(cpu_envs):
-                act_dict = {
-                    aid: (actions[env_id, i, 0]
-                          if actions.shape[-1] == 1
-                          and isinstance(action_space, Discrete)
-                          else actions[env_id, i])
-                    for i, aid in enumerate(agent_ids)
-                }
+                act_dict = {}
+                for aid in agent_ids:
+                    a = draws[aid][env_id]
+                    space = engine.action_space[aid]
+                    act_dict[aid] = (
+                        a[0] if isinstance(space, Discrete) else a
+                    )
                 obs, rew, done, _ = env.step(act_dict)
                 cpu_obs_list.append(obs)
                 cpu_rew_list.append(rew)
                 cpu_done_list.append(bool(done["__all__"]))
 
             # TPU side
-            out = engine.step_all_envs(actions)
-            done_tpu = np.asarray(out[Constants.DONE]) > 0
+            engine.step_all_envs(self._pack_actions(draws, engine))
+            done_tpu = np.asarray(engine.state[Constants.DONE]) > 0
 
-            self._compare_obs(cpu_obs_list, np.asarray(out[_OBS]), agent_ids,
-                              threshold_pct, f"{scenario}: obs at t={t}")
+            self._compare_all_obs(engine, cpu_obs_list, threshold_pct,
+                                  f"{scenario}: obs at t={t}")
+            rew_tpu = np.asarray(engine.rewards_of(engine.state))
             rew_cpu = np.stack(
                 [
                     np.array([r[aid] for aid in agent_ids], dtype=np.float32)
@@ -125,7 +167,7 @@ class EnvironmentCPUvsTPU:
                 ]
             )
             _assert_all_close(
-                np.asarray(out[_REWARDS]), rew_cpu, threshold_pct,
+                rew_tpu, rew_cpu, threshold_pct,
                 f"{scenario}: rewards at t={t}",
             )
             assert (np.asarray(cpu_done_list) == done_tpu).all(), (
@@ -142,43 +184,127 @@ class EnvironmentCPUvsTPU:
                     # tested separately, cf. reference test_pool_reset.py).
                     return
                 engine.reset_only_done_envs()
-                # after reset the TPU obs placeholder is restored to the
+                # after reset the TPU obs placeholders are restored to the
                 # at-reset snapshot; verify against the CPU reset obs
-                # (skipped when a reset pool randomizes the initial state)
-                obs_after = np.asarray(engine.state[_OBS])
+                cpu_obs_after = []
                 for env_id, is_done in enumerate(done_tpu):
-                    if not is_done:
-                        continue
-                    cpu_reset_obs = _stack_obs(cpu_envs[env_id].reset(), agent_ids)
-                    if not engine.store.pools:
-                        _assert_all_close(
-                            obs_after[env_id], cpu_reset_obs, threshold_pct,
-                            f"{scenario}: obs after reset of env {env_id} at t={t}",
-                        )
+                    cpu_obs_after.append(
+                        cpu_envs[env_id].reset()
+                        if is_done
+                        else cpu_obs_list[env_id]
+                    )
+                self._compare_all_obs(
+                    engine, cpu_obs_after, threshold_pct,
+                    f"{scenario}: obs after reset at t={t}",
+                    only_envs=np.nonzero(done_tpu)[0].tolist(),
+                )
 
     # ------------------------------------------------------------- helpers
-    def _draw_actions(self, rng, action_space, n_agents) -> np.ndarray:
-        """Identical random actions for both sides, (envs, agents, A)."""
-        if isinstance(action_space, Discrete):
-            return rng.randint(
-                action_space.n, size=(self.num_envs, n_agents, 1)
-            ).astype(np.int32)
-        if isinstance(action_space, MultiDiscrete):
-            cols = [
-                rng.randint(n, size=(self.num_envs, n_agents, 1))
-                for n in action_space.nvec
-            ]
-            return np.concatenate(cols, axis=-1).astype(np.int32)
-        if isinstance(action_space, Box):
-            shape = (self.num_envs, n_agents) + action_space.shape
-            low = np.where(np.isfinite(action_space.low), action_space.low, -1.0)
-            high = np.where(np.isfinite(action_space.high), action_space.high, 1.0)
-            return (low + rng.rand(*shape) * (high - low)).astype(np.float32)
-        raise NotImplementedError(repr(action_space))
+    def _draw_actions_per_agent(self, rng, engine) -> dict:
+        """Identical random actions for both sides: {agent_id: (envs, C)}.
+        Heterogeneous per-agent action spaces are supported (each agent
+        draws from its own space, in a fixed agent order)."""
+        out = {}
+        for aid in engine._agent_ids:
+            space = engine.action_space[aid]
+            if isinstance(space, Discrete):
+                out[aid] = rng.randint(
+                    space.n, size=(self.num_envs, 1)
+                ).astype(np.int32)
+            elif isinstance(space, MultiDiscrete):
+                cols = [
+                    rng.randint(n, size=(self.num_envs, 1))
+                    for n in space.nvec
+                ]
+                out[aid] = np.concatenate(cols, axis=-1).astype(np.int32)
+            elif isinstance(space, Box):
+                low = np.where(np.isfinite(space.low), space.low, -1.0)
+                high = np.where(np.isfinite(space.high), space.high, 1.0)
+                out[aid] = (
+                    low + rng.rand(self.num_envs, *space.shape) * (high - low)
+                ).astype(np.float32)
+            else:
+                raise NotImplementedError(repr(space))
+        return out
 
-    def _compare_obs(self, cpu_obs_list, obs_tpu, agent_ids, threshold_pct, label):
-        cpu = np.stack([_stack_obs(o, agent_ids) for o in cpu_obs_list], axis=0)
-        _assert_all_close(obs_tpu, cpu, threshold_pct, label)
+    def _pack_actions(self, draws: dict, engine):
+        """Per-agent draws -> engine step input: (envs, agents, C) shared,
+        or {policy: (envs, A_p, C)} in separate mode."""
+        if engine.separate_placeholders:
+            packed = {}
+            for tag, ids in engine._policy_ids.items():
+                packed[tag] = np.stack(
+                    [draws[int(aid)] for aid in ids], axis=1
+                )
+            return packed
+        return np.stack(
+            [draws[aid] for aid in engine._agent_ids], axis=1
+        )
+
+    def _engine_obs_per_agent(self, engine) -> dict:
+        """Host views of the engine's obs placeholders keyed per agent:
+        ``{agent_id: (envs, *feat) array | {key: (envs, *feat) array}}``."""
+
+        def agent_first(arr, num_agents):
+            if (
+                self.obs_dim_corresponding_to_num_agents == "last"
+                and num_agents > 1
+            ):
+                return np.swapaxes(arr, 1, -1) if arr.ndim > 2 else arr
+            return arr
+
+        out = {}
+        if engine.separate_placeholders:
+            groups = [
+                (tag, engine._policy_ids[tag]) for tag in engine._policy_ids
+            ]
+        else:
+            groups = [(None, np.asarray(engine._agent_ids))]
+        for tag, ids in groups:
+            info = engine.group_info(tag)
+            suffix = f"_{tag}" if tag is not None else ""
+            if info["mode"] == "box":
+                arr = agent_first(
+                    np.asarray(engine.state[_OBS + suffix]), len(ids)
+                )
+                for k, aid in enumerate(ids):
+                    out[int(aid)] = arr[:, k]
+            else:
+                arrs = {
+                    key: agent_first(
+                        np.asarray(engine.state[f"{_OBS}{suffix}_{key}"]),
+                        len(ids),
+                    )
+                    for key in info["keys"]
+                }
+                for k, aid in enumerate(ids):
+                    out[int(aid)] = {key: a[:, k] for key, a in arrs.items()}
+        return out
+
+    def _compare_all_obs(self, engine, cpu_obs_list, threshold_pct, label,
+                         only_envs=None):
+        per_agent = self._engine_obs_per_agent(engine)
+        env_ids = (
+            list(range(self.num_envs)) if only_envs is None else only_envs
+        )
+        for aid in engine._agent_ids:
+            tpu = per_agent[aid]
+            if isinstance(tpu, dict):
+                for key, arr in tpu.items():
+                    cpu = np.stack(
+                        [np.asarray(cpu_obs_list[e][aid][key]) for e in env_ids]
+                    )
+                    _assert_all_close(
+                        arr[env_ids], cpu, threshold_pct,
+                        f"{label} (agent {aid}, key {key!r})",
+                    )
+            else:
+                cpu = np.stack(
+                    [np.asarray(cpu_obs_list[e][aid]) for e in env_ids]
+                )
+                _assert_all_close(
+                    tpu[env_ids], cpu, threshold_pct, f"{label} (agent {aid})"
+                )
 
 
 def _stack_obs(obs_dict, agent_ids):

@@ -37,6 +37,8 @@ _ENV_SETUPS = {
     "tag_gridworld": ("TagGridWorld", "shared", "a2c"),
     "tag_gridworld_with_reset_pool": ("TagGridWorldWithResetPool", "shared", "a2c"),
     "tag_continuous": ("TagContinuous", "tag_continuous", "a2c"),
+    # separate per-policy placeholders (heterogeneous obs/action spaces)
+    "asymmetric_pursuit": ("AsymmetricPursuit", "separate", "a2c"),
 }
 
 
@@ -48,6 +50,8 @@ def build_policy_map(kind: str, env) -> dict:
         taggers = [i for i in range(env.num_agents) if env.agent_type[i] == 1]
         runners = [i for i in range(env.num_agents) if env.agent_type[i] == 0]
         return {"tagger": taggers, "runner": runners}
+    if kind == "separate":
+        return env.policy_map()
     raise NotImplementedError(kind)
 
 
@@ -67,12 +71,15 @@ def setup_trainer_and_train(
 
     env_cls = env_registrar.get(env_name, backend="tpu")
     env = env_cls(**run_config.get("env", {}))
+    policy_map = build_policy_map(policy_kind, env)
+    separate = policy_kind == "separate"
     engine = EnvEngine(
         env_obj=env,
         num_envs=run_config["trainer"]["num_envs"],
         seed=int(run_config["trainer"].get("seed", 0)),
+        policy_tag_to_agent_id_map=policy_map if separate else None,
+        create_separate_placeholders_for_each_policy=separate,
     )
-    policy_map = build_policy_map(policy_kind, env)
 
     if trainer_kind == "a2c":
         from warpdrive_tpu.training.trainer_a2c import TrainerA2C as Trainer
@@ -90,6 +97,7 @@ def setup_trainer_and_train(
         env_wrapper=engine,
         config=run_config,
         policy_tag_to_agent_id_map=policy_map,
+        create_separate_placeholders_for_each_policy=separate,
         num_devices=num_devices,
         results_dir=results_dir,
         verbose=verbose,

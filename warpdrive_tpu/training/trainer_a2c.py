@@ -78,7 +78,11 @@ class TrainerA2C(TrainerBase):
             )
             self.models[tag] = model
 
-            obs_flat = self._gather_policy_obs(jnp.asarray(obs0), tag)
+            obs_flat, _ = self._policy_obs_and_mask(
+                {k: jnp.asarray(v) for k, v in self.engine.state.items()},
+                None,
+                tag,
+            )
             init_rng, sub = jax.random.split(init_rng)
             self.params[tag] = model.init(sub, obs_flat[:1])
 
@@ -145,13 +149,7 @@ class TrainerA2C(TrainerBase):
         masked logits when the env exposes an ``action_mask`` state array."""
         return self.models[tag].apply(params, obs_flat, action_mask=action_mask)
 
-    def _gather_policy_mask(self, env_state, tag):
-        """Per-policy slice of the env's action-mask array, if any."""
-        mask = env_state.get(Constants.ACTION_MASK)
-        if mask is None:
-            return None
-        ids = jnp.asarray(self.policy_tag_to_agent_id_map[tag])
-        return jnp.take(mask, ids, axis=1).astype(jnp.float32)
+    # _gather_policy_mask / _policy_obs_and_mask live in TrainerBase.
 
     def _sample_policy_actions(self, tag, key, logits_list, use_argmax=False):
         """One categorical draw per action component -> (E, Ap, C) int32."""
@@ -180,14 +178,15 @@ class TrainerA2C(TrainerBase):
             per_policy = {}
             keys = jax.random.split(key, len(self.policies))
             for k, tag in zip(keys, self.policies):
-                obs_p = self._gather_policy_obs(env_state[_OBS], tag)
-                mask_p = self._gather_policy_mask(env_state, tag)
+                obs_p, mask_p = self._policy_obs_and_mask(env_state, None, tag)
                 logits_list, _ = self._policy_forward(
                     tag, params[tag], obs_p, action_mask=mask_p
                 )
                 per_policy[tag] = self._sample_policy_actions(
                     tag, k, logits_list, use_argmax=use_argmax
                 )
+            if self.engine.separate_placeholders:
+                return per_policy
             return self._scatter_actions(per_policy)
 
         return act
@@ -205,16 +204,15 @@ class TrainerA2C(TrainerBase):
                 k_sample, k_reset = jax.random.split(key_t)
 
                 obs_all = (
-                    engine.observe(env_state)
-                    if engine.has_split_step
-                    else env_state[_OBS]
+                    engine.observe(env_state) if engine.has_split_step else None
                 )
                 per_policy_actions = {}
                 rec = {}
                 sample_keys = jax.random.split(k_sample, len(policies))
                 for sk, tag in zip(sample_keys, policies):
-                    obs_p = self._gather_policy_obs(obs_all, tag)
-                    mask_p = self._gather_policy_mask(env_state, tag)
+                    obs_p, mask_p = self._policy_obs_and_mask(
+                        env_state, obs_all, tag
+                    )
                     logits_list, _ = self._policy_forward(
                         tag, params[tag], obs_p, action_mask=mask_p
                     )
@@ -225,18 +223,25 @@ class TrainerA2C(TrainerBase):
                     if mask_p is not None:
                         rec[f"mask_{tag}"] = mask_p
 
-                actions = self._scatter_actions(per_policy_actions)
+                actions = (
+                    per_policy_actions
+                    if engine.separate_placeholders
+                    else self._scatter_actions(per_policy_actions)
+                )
                 env_state = (
                     engine.step_physics(env_state, actions)
                     if engine.has_split_step
                     else engine.step(env_state, actions)
                 )
 
-                rewards = env_state[_REWARDS]
+                rewards = engine.rewards_of(env_state)
                 done = env_state[_DONE]
                 for tag in policies:
-                    ids = jnp.asarray(self.policy_tag_to_agent_id_map[tag])
-                    rec[f"rewards_{tag}"] = jnp.take(rewards, ids, axis=1)
+                    if engine.separate_placeholders:
+                        rec[f"rewards_{tag}"] = env_state[f"{_REWARDS}_{tag}"]
+                    else:
+                        ids = jnp.asarray(self.policy_tag_to_agent_id_map[tag])
+                        rec[f"rewards_{tag}"] = jnp.take(rewards, ids, axis=1)
                 rec["done"] = done
 
                 # episodic reward bookkeeping (reference :585-601)
@@ -412,7 +417,7 @@ class TrainerA2C(TrainerBase):
                 # per-policy per-component action probabilities of env_id
                 # (reference ``trainer_base.py:756-776``)
                 for tag in self.policies:
-                    obs_p = self._gather_policy_obs(st[_OBS], tag)
+                    obs_p, _ = self._policy_obs_and_mask(st, None, tag)
                     logits_list, _ = self._policy_forward(tag, params[tag], obs_p)
                     for i, logits in enumerate(logits_list):
                         rec[f"_probs_{tag}_{i}"] = jax.nn.softmax(
@@ -421,8 +426,14 @@ class TrainerA2C(TrainerBase):
             st = engine.step(st, actions)
             rec.update({name: st[name][env_id] for name in list_of_states})
             if include_rewards_actions:
-                rec["_rewards"] = st[_REWARDS][env_id]
-                rec["_actions"] = actions[env_id]
+                rec["_rewards"] = engine.rewards_of(st)[env_id]
+                # separate mode: merge the per-policy action dict
+                a_rec = (
+                    self._scatter_actions(actions)
+                    if isinstance(actions, dict)
+                    else actions
+                )
+                rec["_actions"] = a_rec[env_id]
             rec["_done"] = st[_DONE][env_id]
             return (st, t + 1), rec
 

@@ -187,6 +187,24 @@ class TrainerBase:
         )
         assert obs_dim_corresponding_to_num_agents in ("first", "last")
         self.obs_dim_corresponding_to_num_agents = obs_dim_corresponding_to_num_agents
+        # placeholder layout is decided at ENGINE construction; the trainer
+        # flags must agree with it (reference decides both inside
+        # TrainerBase via create_and_push_data_placeholders)
+        eng_sep = bool(getattr(self.engine, "separate_placeholders", False))
+        if bool(create_separate_placeholders_for_each_policy) != eng_sep:
+            raise ValueError(
+                "create_separate_placeholders_for_each_policy="
+                f"{create_separate_placeholders_for_each_policy} but the "
+                f"engine was built with {eng_sep}; pass the same flag (and "
+                "the policy_tag_to_agent_id_map) to EnvEngine"
+            )
+        eng_dim = getattr(
+            self.engine, "obs_dim_corresponding_to_num_agents", "first"
+        )
+        assert eng_dim == obs_dim_corresponding_to_num_agents, (
+            f"engine stores obs with agent dim {eng_dim!r} but the trainer "
+            f"was asked for {obs_dim_corresponding_to_num_agents!r}"
+        )
 
         # per-policy spaces
         self.obs_space = {}
@@ -290,6 +308,94 @@ class TrainerBase:
         ids = jnp.asarray(self.policy_tag_to_agent_id_map[tag])
         obs_p = jnp.take(state_obs, ids, axis=1)  # (E, Ap, *feat)
         return obs_p.reshape(obs_p.shape[:2] + (-1,))
+
+    def _gather_policy_mask(self, env_state, tag):
+        """Per-policy slice of a shared ``action_mask`` state array, if the
+        env exposes one (1 keep / 0 forbid, concatenated over action
+        components — reference ``model_base.py:203-213``)."""
+        mask = env_state.get(Constants.ACTION_MASK)
+        if mask is None:
+            return None
+        ids = jnp.asarray(self.policy_tag_to_agent_id_map[tag])
+        return jnp.take(mask, ids, axis=1).astype(jnp.float32)
+
+    def _reshape_flatten(self, arr: jnp.ndarray, num_agents: int) -> jnp.ndarray:
+        """(E, A, *feat) — or agent-dim-LAST (E, *feat, A) when
+        ``obs_dim_corresponding_to_num_agents == "last"`` — to (E, A, flat)
+        (reference ``model_base.py:105-131``)."""
+        E = arr.shape[0]
+        if self.obs_dim_corresponding_to_num_agents == "last":
+            if arr.ndim <= 2:
+                arr = arr.reshape(E, num_agents, -1)
+            else:
+                arr = jnp.moveaxis(arr, -1, 1)
+        return arr.reshape(E, num_agents, -1)
+
+    def _policy_obs_and_mask(self, env_state, obs_all, tag):
+        """
+        One policy's flattened observations + action mask, across all
+        placeholder modes (reference ``model_base.py:133-186``):
+
+        * shared Box: gather the policy's agents from ``observations``
+          (``obs_all`` overrides the placeholder on the split-step fast
+          path);
+        * shared Dict: flatten + concat every ``observations_<key>`` on the
+          feature axis; an ``action_mask`` key becomes the logit mask;
+        * separate mode: same, from ``observations_<tag>[_<key>]`` with no
+          agent gather (the arrays already hold only this policy's agents).
+
+        Returns ``(obs (E, A_p, F), mask (E, A_p, M) or None)``.
+        """
+        eng = self.engine
+        ids = self.policy_tag_to_agent_id_map[tag]
+        Ap = len(ids)
+        mask = None
+        group = (
+            eng.group_info(tag)
+            if hasattr(eng, "group_info")
+            else {"mode": "box", "keys": []}
+        )
+        if getattr(eng, "separate_placeholders", False):
+            if group["mode"] == "dict":
+                parts = []
+                for key in group["keys"]:
+                    flat = self._reshape_flatten(
+                        env_state[f"{_OBS}_{tag}_{key}"], Ap
+                    )
+                    if key == Constants.ACTION_MASK:
+                        mask = flat
+                    else:
+                        parts.append(flat)
+                obs = (
+                    parts[0]
+                    if len(parts) == 1
+                    else jnp.concatenate(parts, axis=-1)
+                )
+            else:
+                obs = self._reshape_flatten(env_state[f"{_OBS}_{tag}"], Ap)
+        else:
+            take = lambda x: jnp.take(x, jnp.asarray(ids), axis=1)
+            if group["mode"] == "dict":
+                parts = []
+                for key in group["keys"]:
+                    flat = self._reshape_flatten(
+                        env_state[f"{_OBS}_{key}"], eng.n_agents
+                    )
+                    if key == Constants.ACTION_MASK:
+                        mask = take(flat)
+                    else:
+                        parts.append(flat)
+                obs = take(
+                    parts[0]
+                    if len(parts) == 1
+                    else jnp.concatenate(parts, axis=-1)
+                )
+            else:
+                source = obs_all if obs_all is not None else env_state[_OBS]
+                obs = take(self._reshape_flatten(source, eng.n_agents))
+        if mask is None:
+            mask = self._gather_policy_mask(env_state, tag)
+        return obs, mask
 
     def _action_heads(self, tag: str):
         """Per-component head sizes + dtype for a policy's action space."""
@@ -476,7 +582,7 @@ class TrainerBase:
                 # soft-resets finished envs WITHOUT undoing done.
                 alive = alive & (st[Constants.DONE] == 0)
                 af = alive.astype(jnp.float32)
-                rew_sum = rew_sum + st[Constants.REWARDS] * af[:, None]
+                rew_sum = rew_sum + engine.rewards_of(st) * af[:, None]
                 step_sum = step_sum + alive.astype(jnp.int32)
                 return (st, alive, rew_sum, step_sum), None
 
@@ -550,8 +656,14 @@ class TrainerBase:
             st = engine.step(st, actions)
             rec = {name: st[name][env_id] for name in list_of_states}
             if include_rewards_actions:
-                rec["_rewards"] = st[Constants.REWARDS][env_id]
-                rec["_actions"] = actions[env_id]
+                rec["_rewards"] = engine.rewards_of(st)[env_id]
+                # separate mode: merge the per-policy action dict
+                a_rec = (
+                    self._scatter_actions(actions)
+                    if isinstance(actions, dict)
+                    else actions
+                )
+                rec["_actions"] = a_rec[env_id]
             rec["_done"] = st[Constants.DONE][env_id]
             return (st, t + 1), rec
 

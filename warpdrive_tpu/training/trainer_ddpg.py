@@ -119,7 +119,11 @@ class TrainerDDPG(TrainerBase):
             critic_cls = ModelFactory.create(critic_cfg["type"])
             self.critic_models[tag] = critic_cls(fc_dims=tuple(critic_cfg["fc_dims"]))
 
-            obs_flat = self._gather_policy_obs(jnp.asarray(obs0), tag)
+            obs_flat, _ = self._policy_obs_and_mask(
+                {k: jnp.asarray(v) for k, v in self.engine.state.items()},
+                None,
+                tag,
+            )
             init_rng, k_a, k_c = jax.random.split(init_rng, 3)
             actor_params[tag] = self.actor_models[tag].init(k_a, obs_flat[:1])
             a0 = self.actor_models[tag].apply(actor_params[tag], obs_flat[:1])
@@ -224,8 +228,14 @@ class TrainerDDPG(TrainerBase):
         if self._carry is not None:
             self._carry["actor"] = dict(self.params["actor"])
             self._carry["critic"] = dict(self.params["critic"])
-            self._carry["target_actor"] = dict(self.params["actor"])
-            self._carry["target_critic"] = dict(self.params["critic"])
+            # targets hard-reset to the loaded nets, in DISTINCT buffers —
+            # aliased leaves would be donated twice by the jitted iteration
+            self._carry["target_actor"] = jax.tree_util.tree_map(
+                jnp.copy, dict(self.params["actor"])
+            )
+            self._carry["target_critic"] = jax.tree_util.tree_map(
+                jnp.copy, dict(self.params["critic"])
+            )
 
     # ------------------------------------------------------------- acting
     def _scatter_actions(self, per_policy_actions: dict) -> jnp.ndarray:
@@ -245,10 +255,12 @@ class TrainerDDPG(TrainerBase):
             del key
             per_policy = {}
             for tag in self.policies:
-                obs_p = self._gather_policy_obs(env_state[_OBS], tag)
+                obs_p, _ = self._policy_obs_and_mask(env_state, None, tag)
                 per_policy[tag] = self.actor_models[tag].apply(
                     actor_params[tag], obs_p
                 )
+            if self.engine.separate_placeholders:
+                return per_policy
             return self._scatter_actions(per_policy)
 
         return act
@@ -277,7 +289,9 @@ class TrainerDDPG(TrainerBase):
                 new_ou = {}
                 rec = {}
                 for tag in policies:
-                    obs_p = self._gather_policy_obs(obs_all, tag)
+                    obs_p, _ = self._policy_obs_and_mask(
+                        env_state, obs_all, tag
+                    )
                     mu = self.actor_models[tag].apply(actor_params[tag], obs_p)
                     actions_p, new_ou[tag] = sample_ou_process(
                         None, mu, ou[tag],
@@ -288,18 +302,25 @@ class TrainerDDPG(TrainerBase):
                     rec[f"obs_{tag}"] = obs_p
                     rec[f"actions_{tag}"] = actions_p
 
-                actions = self._scatter_actions(per_policy_actions)
+                actions = (
+                    per_policy_actions
+                    if engine.separate_placeholders
+                    else self._scatter_actions(per_policy_actions)
+                )
                 env_state = (
                     engine.step_physics(env_state, actions)
                     if engine.has_split_step
                     else engine.step(env_state, actions)
                 )
 
-                rewards = env_state[_REWARDS]
+                rewards = engine.rewards_of(env_state)
                 done = env_state[_DONE]
                 for tag in policies:
-                    ids = jnp.asarray(self.policy_tag_to_agent_id_map[tag])
-                    rec[f"rewards_{tag}"] = jnp.take(rewards, ids, axis=1)
+                    if engine.separate_placeholders:
+                        rec[f"rewards_{tag}"] = env_state[f"{_REWARDS}_{tag}"]
+                    else:
+                        ids = jnp.asarray(self.policy_tag_to_agent_id_map[tag])
+                        rec[f"rewards_{tag}"] = jnp.take(rewards, ids, axis=1)
                 rec["done"] = done
 
                 ep_acc = ep_acc + rewards
@@ -467,18 +488,24 @@ class TrainerDDPG(TrainerBase):
                 metrics["Actor loss"] = a_loss
                 metrics["Total loss"] = a_loss + metrics["Critic loss"]
 
-                # gate everything on buffer fullness
-                gate = lambda g: jax.tree_util.tree_map(
-                    lambda x: x * is_full, g
+                # Warm-up gating: while the replay window is not yet full,
+                # the reference skips the update entirely
+                # (``trainer_ddpg.py:319-334``).  Stepping the optimizer
+                # with zeroed grads would still advance Adam's step count
+                # and stale its bias correction, so the ENTIRE optimizer
+                # state is selected back to the previous one when not full.
+                full_b = is_full > 0.5
+                sel = lambda new, old: jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(full_b, n, o), new, old
                 )
-                c_grads, a_grads = gate(c_grads), gate(a_grads)
-
-                c_updates, new_opt_c[tag] = self.critic_optimizers[tag].update(
+                c_updates, opt_c_new = self.critic_optimizers[tag].update(
                     c_grads, carry["opt_critic"][tag], carry["critic"][tag]
                 )
-                a_updates, new_opt_a[tag] = self.actor_optimizers[tag].update(
+                a_updates, opt_a_new = self.actor_optimizers[tag].update(
                     a_grads, carry["opt_actor"][tag], carry["actor"][tag]
                 )
+                new_opt_c[tag] = sel(opt_c_new, carry["opt_critic"][tag])
+                new_opt_a[tag] = sel(opt_a_new, carry["opt_actor"][tag])
                 actor_lr = self.actor_lr_schedules[tag].value_at(timestep)
                 critic_lr = self.critic_lr_schedules[tag].value_at(timestep)
                 c_updates = jax.tree_util.tree_map(
@@ -579,8 +606,12 @@ class TrainerDDPG(TrainerBase):
                     continue
                 with open(path, "rb") as f:
                     payload = f.read()
+                # template from the LIVE carry (the initial self.params
+                # buffers are donated to the first jitted iteration, so a
+                # mid-run reload must not dereference them)
+                template = jax.device_get(self._current_params(policy)[net])
                 self.params[net][policy] = serialization.from_bytes(
-                    jax.device_get(self.params[net][policy]), payload
+                    template, payload
                 )
                 stem = os.path.basename(path).split(".")[0]
                 timesteps.add(int(stem.split("_")[-1]))
