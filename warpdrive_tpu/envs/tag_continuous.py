@@ -373,12 +373,23 @@ class TpuTagContinuous(TagContinuous, TpuEnvironmentContext):
     def get_data_dictionary(self) -> DataFeed:
         data = DataFeed()
         assert self.loc_x is not None, "call reset() before building the feed"
+        # loc/still are flagged for dense episode logging — the rollout
+        # animation consumes them (reference pushes the same arrays with
+        # log_data_across_episode=True for its CUDALogController,
+        # ``tag_continuous.py:274-310``)
+        logged = ("loc_x", "loc_y")
         for name in ("loc_x", "loc_y", "speed", "direction", "acceleration"):
-            data.add_data(name, getattr(self, name), save_copy_and_apply_at_reset=True)
+            data.add_data(
+                name,
+                getattr(self, name),
+                save_copy_and_apply_at_reset=True,
+                log_data_across_episode=name in logged,
+            )
         data.add_data(
             "still_in_the_game",
             self.still_in_the_game,
             save_copy_and_apply_at_reset=True,
+            log_data_across_episode=True,
         )
         return data
 

@@ -32,7 +32,15 @@ def generate_tag_rollout_animation(
     import matplotlib.pyplot as plt
 
     env = trainer.engine.env
-    episode = trainer.fetch_episode_states(["loc_x", "loc_y", "still_in_the_game"])
+    log_names = set(trainer.engine.store.log_names)
+    if {"loc_x", "loc_y", "still_in_the_game"} <= log_names:
+        # preferred path: the device-side dense episode logger (reference
+        # CUDALogController -> generate_rollout_animation pipeline)
+        episode = trainer.fetch_logged_episode()
+    else:
+        episode = trainer.fetch_episode_states(
+            ["loc_x", "loc_y", "still_in_the_game"]
+        )
     loc_x = np.asarray(episode["loc_x"], dtype=np.float32)
     loc_y = np.asarray(episode["loc_y"], dtype=np.float32)
     still = np.asarray(episode["still_in_the_game"])

@@ -692,6 +692,61 @@ class TrainerBase:
     def _build_rollout_profile_fn(self):  # pragma: no cover - subclass detail
         raise NotImplementedError
 
+    def fetch_logged_episode(self, env_id: int = 0):
+        """
+        Dense per-timestep trajectories of every state array the env flagged
+        ``log_data_across_episode``, for one env replica, recorded ON DEVICE
+        by the :class:`EpisodeLogger` inside a single jitted episode scan —
+        the TPU-native replacement for the reference's ``CUDALogController``
+        (``managers/function_manager.py:295-422``: ``reset_log`` + one
+        ``log_one_step_in_*`` kernel launch per step).
+
+        Returns ``{name: (last_step + 1, *feat) numpy array}`` truncated at
+        the env's done step, with the log-mask contiguity check applied
+        (reference ``log.cu:20-29``).
+        """
+        from warpdrive_tpu.core.episode_log import EpisodeLogger
+
+        engine = self.engine
+        logger = EpisodeLogger(engine.store)
+        assert logger.log_names, (
+            "no state array was pushed with log_data_across_episode=True "
+            "(reference DataFeed.add_data flag)"
+        )
+        params = self._act_params()
+        T = engine.episode_length
+
+        def run(params, state0, buffers0, keys):
+            def body(carry, key_t):
+                st, bufs, t, done_seen = carry
+                actions = self._act_fn(params, st, key_t, use_argmax=True)
+                st = engine.step(st, actions)
+                # log up to AND INCLUDING the terminal step, then stop —
+                # keeps the log mask contiguous (reference ``log.cu:20-29``)
+                logged = logger.log_step(bufs, st, t, env_id)
+                bufs = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(done_seen, old, new),
+                    logged,
+                    bufs,
+                )
+                done_seen = done_seen | (st[Constants.DONE][env_id] > 0)
+                return (st, bufs, t + 1, done_seen), st[Constants.DONE][env_id]
+
+            (st, bufs, _, _), done_t = jax.lax.scan(
+                body, (state0, buffers0, 1, jnp.asarray(False)), keys
+            )
+            return bufs, done_t
+
+        self.engine.reset_all_envs()
+        state0 = dict(self.engine.state)
+        buffers0 = logger.init_buffers(state0, env_id)
+        keys = jax.random.split(self._next_rng(), T)
+        buffers, done_t = jax.jit(run)(params, state0, buffers0, keys)
+
+        done_t = np.asarray(done_t)
+        last_step = int(np.argmax(done_t > 0)) + 1 if (done_t > 0).any() else T
+        return logger.fetch(buffers, last_step)
+
     def profile_phases(self, repeats: int = 3) -> dict:
         """
         Per-phase timing breakdown.  The reference times policy eval /
