@@ -62,6 +62,23 @@ def rollout_rate(step_fn, state, n_steps: int, num_envs: int, key,
     return best
 
 
+def _emit_error(stage: str, exc: Exception):
+    """ALWAYS print one parseable JSON line, even on backend failure
+    (round-1 gap: a raw traceback left BENCH_r01.json unparseable)."""
+    print(
+        json.dumps(
+            {
+                "metric": "tag_continuous_env_steps_per_sec",
+                "value": 0,
+                "unit": "env_steps/s",
+                "vs_baseline": 0.0,
+                "error": f"{stage}: {type(exc).__name__}: {exc}",
+            }
+        ),
+        flush=True,
+    )
+
+
 def main():
     import os
 
@@ -74,23 +91,43 @@ def main():
     from warpdrive_tpu.presets import build_flagship
 
     print("[bench] acquiring device...", file=sys.stderr, flush=True)
-    platform = jax.devices()[0].platform
+    try:
+        platform = jax.devices()[0].platform
+    except Exception as exc:  # TPU backend unavailable / claim wedged
+        if forced or os.environ.get("BENCH_NO_FALLBACK"):
+            _emit_error("device_init", exc)
+            sys.exit(1)
+        print(
+            f"[bench] device init failed ({exc}); falling back to CPU",
+            file=sys.stderr, flush=True,
+        )
+        try:
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            jax.config.update("jax_platforms", "cpu")
+            platform = jax.devices()[0].platform
+        except Exception as exc2:
+            _emit_error("device_init_cpu_fallback", exc2)
+            sys.exit(1)
     on_tpu = platform == "tpu"
     num_envs = 2000 if on_tpu else 32
     n_steps = 500 if on_tpu else 20
 
-    print(f"[bench] building flagship system ({num_envs} envs)...", file=sys.stderr, flush=True)
-    sys_ = build_flagship(num_envs=num_envs, fc_dims=(256, 256), seed=0)
-    key = jax.random.PRNGKey(42)
-    print("[bench] compiling + timing env-only rollout...", file=sys.stderr, flush=True)
+    try:
+        print(f"[bench] building flagship system ({num_envs} envs)...", file=sys.stderr, flush=True)
+        sys_ = build_flagship(num_envs=num_envs, fc_dims=(256, 256), seed=0)
+        key = jax.random.PRNGKey(42)
+        print("[bench] compiling + timing env-only rollout...", file=sys.stderr, flush=True)
 
-    env_rate = rollout_rate(
-        sys_["env_only_step"],
-        (sys_["state"], jnp.zeros(())),
-        n_steps,
-        num_envs,
-        key,
-    )
+        env_rate = rollout_rate(
+            sys_["env_only_step"],
+            (sys_["state"], jnp.zeros(())),
+            n_steps,
+            num_envs,
+            key,
+        )
+    except Exception as exc:
+        _emit_error("measure", exc)
+        sys.exit(1)
     # emit the headline JSON line IMMEDIATELY so a timeout during the
     # (optional) full-loop measurement cannot lose the result
     print(

@@ -1,0 +1,60 @@
+"""Eager CPU backend (numpy reference envs) trains through TrainerA2C —
+reference env_backend='cpu' training parity (round-1 gap: CpuEnvEngine was
+a debugging facade only)."""
+
+import numpy as np
+
+from warpdrive_tpu.envs import register_all_envs
+from warpdrive_tpu.envs.cpu_engine import CpuEnvEngine
+from warpdrive_tpu.training.trainer_a2c import TrainerA2C
+
+register_all_envs()
+
+
+def _cfg(num_envs, T=20, iters=4):
+    return {
+        "name": "tg_cpu",
+        "env": {},
+        "trainer": {"num_envs": num_envs,
+                    "num_episodes": (iters * T * num_envs) // 30,
+                    "train_batch_size": T * num_envs, "seed": 3},
+        "policy": {"shared": {"to_train": True, "algorithm": "A2C",
+                              "gamma": 0.95, "lr": 0.005,
+                              "model": {"type": "fully_connected",
+                                        "fc_dims": [16, 16]}}},
+        "saving": {"metrics_log_freq": 2, "model_params_save_freq": 1000},
+    }
+
+
+def test_cpu_backend_trains_tag_gridworld(tmp_path):
+    eng = CpuEnvEngine(
+        env_name="TagGridWorld",
+        env_config={"num_taggers": 3, "grid_length": 6, "episode_length": 30,
+                    "seed": 5},
+        num_envs=4,
+        seed=5,
+    )
+    assert eng.is_eager and eng.state["observations"].shape[0] == 4
+    trainer = TrainerA2C(
+        env_wrapper=eng, config=_cfg(4), verbose=False,
+        results_dir=str(tmp_path / "r"),
+    )
+    trainer.train()
+    assert trainer.iters_completed == trainer.num_iters
+    # metrics were logged
+    lines = (tmp_path / "r" / "results.json").read_text().splitlines()
+    assert lines
+    import json
+
+    metrics = json.loads(lines[-1])["metrics"]["shared"]
+    assert np.isfinite(metrics["Total loss"])
+    assert np.isfinite(metrics["Mean episodic reward"])
+
+    # done-masked eval works eagerly too
+    rew, steps = trainer.evaluate_episodes(use_argmax=True)
+    assert rew["shared"].shape == (4, 4)
+    assert (steps["shared"] <= 30).all()
+    # checkpoints saved from self.params (no carry in eager mode)
+    import os
+
+    assert any("state_dict" in f for f in os.listdir(tmp_path / "r"))

@@ -143,6 +143,9 @@ class ClassicControlAcrobotEnv(SingleAgentEnv):
         self.state = self._sample_initial_state()
         return map_to_single_agent(_observation(self.state, np).astype(np.float32))
 
+    def _sync_obs(self):
+        return map_to_single_agent(_observation(self.state, np).astype(np.float32))
+
     def step(self, action=None):
         self.timestep += 1
         action = get_action_for_single_agent(action)
@@ -161,6 +164,13 @@ class ClassicControlAcrobotEnv(SingleAgentEnv):
 
 
 class TpuClassicControlAcrobotEnv(ClassicControlAcrobotEnv, TpuEnvironmentContext):
+    def observe_fn(self, state: dict):
+        """Pure observation from state (single replica).  Lets the engine
+        refresh the obs placeholder after POOL resets, where restoring the
+        fixed at-reset snapshot would leave obs stale w.r.t. the pooled
+        state (bug exposed by the pool-lockstep consistency checker)."""
+        return _observation(state["state"][0], jnp)[None, :].astype(jnp.float32)
+
     """TPU version (pure-JAX RK4 step on the (1, 4) state)."""
 
     def get_data_dictionary(self) -> DataFeed:

@@ -35,6 +35,22 @@ class SingleAgentEnv:
         self.seed = seed
         self.np_random = np.random.RandomState(seed)
 
+    # ------------------------------------------------------------------
+    def sync_state(self, arrays: dict):
+        """Consistency-checker hook: adopt the engine's post-reset state
+        (e.g. the pool row a done-driven reset drew) and return the
+        regenerated observation, so the CPU-vs-TPU lockstep comparison can
+        CONTINUE across randomized pool resets instead of stopping at the
+        first done (reference checker has no pool handling at all)."""
+        self.timestep = 0
+        self.state = (
+            np.asarray(arrays["state"]).reshape(-1).astype(np.float32).copy()
+        )
+        return self._sync_obs()
+
+    def _sync_obs(self):
+        return map_to_single_agent(self.state.copy())
+
 
 def map_to_single_agent(val):
     return {0: val}

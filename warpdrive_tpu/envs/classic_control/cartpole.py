@@ -114,6 +114,13 @@ class ClassicControlCartPoleEnv(SingleAgentEnv):
 
 
 class TpuClassicControlCartPoleEnv(ClassicControlCartPoleEnv, TpuEnvironmentContext):
+    def observe_fn(self, state: dict):
+        """Pure observation from state (single replica).  Lets the engine
+        refresh the obs placeholder after POOL resets, where restoring the
+        fixed at-reset snapshot would leave obs stale w.r.t. the pooled
+        state (bug exposed by the pool-lockstep consistency checker)."""
+        return state["state"].astype(jnp.float32)
+
     """TPU version: a pure-JAX step function on the (1, 4) state array."""
 
     def get_data_dictionary(self) -> DataFeed:

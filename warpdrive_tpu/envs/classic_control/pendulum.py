@@ -73,6 +73,9 @@ class ClassicControlPendulumEnv(SingleAgentEnv):
         self.state = self._sample_initial_state()
         return map_to_single_agent(self._obs())
 
+    def _sync_obs(self):
+        return map_to_single_agent(self._obs())
+
     def step(self, action=None):
         self.timestep += 1
         action = get_action_for_single_agent(action)
@@ -98,6 +101,17 @@ class ClassicControlPendulumEnv(SingleAgentEnv):
 class TpuClassicControlPendulumEnv(
     ClassicControlPendulumEnv, TpuEnvironmentContext
 ):
+    def observe_fn(self, state: dict):
+        """Pure observation from state (single replica).  Lets the engine
+        refresh the obs placeholder after POOL resets, where restoring the
+        fixed at-reset snapshot would leave obs stale w.r.t. the pooled
+        state (bug exposed by the pool-lockstep consistency checker)."""
+        s = state["state"]
+        th, thdot = s[0, 0], s[0, 1]
+        return jnp.stack([jnp.cos(th), jnp.sin(th), thdot])[None, :].astype(
+            jnp.float32
+        )
+
     """TPU version (pure-JAX step on the (1, 2) (theta, theta_dot) state)."""
 
     def get_data_dictionary(self) -> DataFeed:

@@ -2,11 +2,19 @@
 CPU (pure-python) environment backend.
 
 Parity with the reference's ``EnvWrapper(..., env_backend='cpu')``
-(``env_wrapper.py:117-122``): run N independent python env objects behind
-the same vectorized facade as :class:`EnvEngine` — useful for debugging an
-env's numpy reference implementation at the engine API level without any
-compilation (the TPU path's correctness oracle remains
-``tools/consistency.py``).
+(``env_wrapper.py:117-122``): run N independent python env objects — the
+NUMPY REFERENCE implementations — behind the same engine facade, including
+enough of the trainer contract (state dict, spaces, group metadata,
+soft reset) that :class:`TrainerA2C` can train against it eagerly, exactly
+like the reference trains on CPU envs.
+
+Note the design difference from the TPU engine: the numpy envs are stateful
+python objects, so there is no pure ``step`` to fuse into a jitted scan.
+Trainers detect ``is_eager = True`` and run a per-step python rollout (the
+reference's own hot-loop structure) while the model forward/sampling and
+the whole loss/optimizer update remain jitted.  For running JAX envs on CPU
+hosts, use the normal :class:`EnvEngine` under ``JAX_PLATFORMS=cpu`` — the
+eager backend exists for debugging numpy references at the trainer level.
 """
 
 from __future__ import annotations
@@ -15,10 +23,26 @@ import numpy as np
 
 from warpdrive_tpu.utils.constants import Constants
 from warpdrive_tpu.utils.env_registrar import env_registrar as default_registrar
+from warpdrive_tpu.utils.spaces import Box, Discrete, MultiDiscrete
+
+_OBS = Constants.OBSERVATIONS
+_REWARDS = Constants.REWARDS
+_DONE = Constants.DONE
+_TIMESTEP = Constants.TIMESTEP
 
 
 class CpuEnvEngine:
-    """N python envs behind the EnvEngine facade (reset/step/soft-reset)."""
+    """N numpy reference envs behind the (eager) engine facade."""
+
+    is_eager = True
+    env_backend = "cpu"
+    mesh = None
+    has_split_step = False
+    separate_placeholders = False
+    create_separate_placeholders_for_each_policy = False
+    obs_dim_corresponding_to_num_agents = "first"
+    obs_keys = []
+    obs_mode = "box"
 
     def __init__(
         self,
@@ -33,7 +57,6 @@ class CpuEnvEngine:
         if env_obj is None:
             assert env_name is not None, "pass env_obj or env_name"
             env_cls = registrar.get(env_name, backend="cpu")
-            env_obj = None
             self._make_env = lambda: env_cls(**(env_config or {}))
         else:
             env_cls = type(env_obj)
@@ -44,12 +67,50 @@ class CpuEnvEngine:
         self.n_envs = int(num_envs)
         self.n_agents = int(self.env.num_agents)
         self.episode_length = int(self.env.episode_length)
-        self._agent_ids = None
         self._done = np.zeros((num_envs,), np.int32)
+        self._timestep = np.zeros((num_envs,), np.int32)
 
+        # spaces + placeholder metadata (Box obs only on the eager backend)
+        obs0 = [env.reset() for env in self.envs]
+        self._agent_ids = sorted(obs0[0].keys())
+        first = obs0[0][self._agent_ids[0]]
+        assert not isinstance(first, dict), (
+            "the eager CPU backend supports Box observations; use EnvEngine "
+            "under JAX_PLATFORMS=cpu for Dict-obs envs"
+        )
+        if getattr(self.env, "observation_space", None) is None or not isinstance(
+            self.env.observation_space, dict
+        ):
+            self.env.observation_space = {
+                aid: Box(-np.inf, np.inf, shape=np.asarray(obs0[0][aid]).shape)
+                for aid in self._agent_ids
+            }
+        self.observation_space = self.env.observation_space
+        self.action_space = self.env.action_space
+        a_space = self.action_space[self._agent_ids[0]]
+        if isinstance(a_space, Discrete):
+            spec = (1, np.int32)
+        elif isinstance(a_space, MultiDiscrete):
+            spec = (len(a_space.nvec), np.int32)
+        elif isinstance(a_space, Box):
+            spec = (int(a_space.shape[0]), np.float32)
+        else:
+            raise NotImplementedError(repr(a_space))
+        self.num_action_types = spec[0]
+        self._group = {"mode": "box", "keys": [], "action": spec}
+
+        self.state = {}
+        self._set_state_from(obs0, rewards=None)
+
+    # ------------------------------------------------------------- metadata
+    def group_info(self, tag=None):
+        return self._group
+
+    def rewards_of(self, state):
+        return state[_REWARDS]
+
+    # -------------------------------------------------------------- helpers
     def _stack(self, dicts):
-        if self._agent_ids is None:
-            self._agent_ids = sorted(dicts[0].keys())
         return np.stack(
             [
                 np.stack([np.asarray(d[a]) for a in self._agent_ids])
@@ -57,36 +118,70 @@ class CpuEnvEngine:
             ]
         ).astype(np.float32)
 
+    def _set_state_from(self, obs_dicts, rewards):
+        self.state = {
+            _OBS: self._stack(obs_dicts),
+            _REWARDS: (
+                self._stack(rewards)
+                if rewards is not None
+                else np.zeros((self.n_envs, self.n_agents), np.float32)
+            ),
+            _DONE: self._done.copy(),
+            _TIMESTEP: self._timestep.copy(),
+        }
+
     # ------------------------------------------------------------- facade
     def reset_all_envs(self) -> np.ndarray:
         self._done[:] = 0
-        return self._stack([env.reset() for env in self.envs])
+        self._timestep[:] = 0
+        obs = [env.reset() for env in self.envs]
+        self._set_state_from(obs, rewards=None)
+        return self.state[_OBS]
 
     reset = reset_all_envs
 
     def step_all_envs(self, actions) -> dict:
         """actions: (envs, agents[, C]) — returns stacked obs/rew/done."""
         actions = np.asarray(actions)
+        if actions.ndim == 2:
+            actions = actions[..., None]
         obs_l, rew_l = [], []
         for e, env in enumerate(self.envs):
-            act_dict = {
-                a: np.squeeze(actions[e, i])
-                for i, a in enumerate(
-                    self._agent_ids or sorted(range(self.n_agents))
+            act_dict = {}
+            for i, a in enumerate(self._agent_ids):
+                space = self.action_space[a]
+                act_dict[a] = (
+                    actions[e, i, 0]
+                    if isinstance(space, Discrete)
+                    else actions[e, i]
                 )
-            }
             obs, rew, done, _ = env.step(act_dict)
             obs_l.append(obs)
             rew_l.append(rew)
-            self._done[e] = int(done["__all__"]) if isinstance(done, dict) else int(done)
+            self._done[e] = (
+                int(done["__all__"]) if isinstance(done, dict) else int(done)
+            )
+        self._timestep += 1
+        rew_arr = [
+            {a: np.float32(r[a]) for a in self._agent_ids} for r in rew_l
+        ]
+        self._set_state_from(obs_l, rewards=rew_arr)
         return {
-            Constants.OBSERVATIONS: self._stack(obs_l),
-            Constants.REWARDS: self._stack(rew_l),
-            Constants.DONE: self._done.copy(),
+            _OBS: self.state[_OBS],
+            _REWARDS: self.state[_REWARDS],
+            _DONE: self.state[_DONE],
         }
 
     def reset_only_done_envs(self):
+        obs_now = self.state[_OBS].copy()
         for e, env in enumerate(self.envs):
             if self._done[e]:
-                env.reset()
+                obs = env.reset()
+                obs_now[e] = np.stack(
+                    [np.asarray(obs[a]) for a in self._agent_ids]
+                ).astype(np.float32)
                 self._done[e] = 0
+                self._timestep[e] = 0
+        self.state[_OBS] = obs_now
+        self.state[_DONE] = self._done.copy()
+        self.state[_TIMESTEP] = self._timestep.copy()

@@ -162,7 +162,37 @@ class EnvEngine:
         )
 
         # --- pure compiled programs -----------------------------------------
-        self.auto_reset = make_auto_reset_fn(self.store.snapshot, self.store.pools)
+        base_auto_reset = make_auto_reset_fn(
+            self.store.snapshot, self.store.pools
+        )
+        observe_single_for_reset = getattr(self.env, "observe_fn", None)
+        if (
+            self.store.pools
+            and observe_single_for_reset is not None
+            and self.obs_mode == "box"
+            and not self.separate_placeholders
+        ):
+            # POOL resets draw a random state row, but the generic reset
+            # restores the obs placeholder from the FIXED snapshot — which
+            # would leave one step of stale observations after every pool
+            # reset (found by the pool-lockstep consistency checker).
+            # Refresh obs from the env's pure observe_fn for reset envs.
+            def auto_reset(state, key, force=False):
+                done = state[Constants.DONE] > 0
+                if force:
+                    done = jnp.ones_like(done)
+                new_state = base_auto_reset(state, key, force=force)
+                if _OBS in new_state:
+                    fresh = jax.vmap(observe_single_for_reset)(dict(new_state))
+                    mask = done.reshape(
+                        done.shape + (1,) * (fresh.ndim - 1)
+                    )
+                    new_state[_OBS] = jnp.where(mask, fresh, new_state[_OBS])
+                return new_state
+
+            self.auto_reset = auto_reset
+        else:
+            self.auto_reset = base_auto_reset
 
         env_step_single = self.env.step_fn
 

@@ -149,6 +149,15 @@ class TagGridWorld:
         self.loc_y = self.starting_location_y.copy()
         return self._generate_observation()
 
+    def sync_state(self, arrays: dict):
+        """Consistency-checker hook: adopt the engine's post-reset state
+        (the pool rows a done-driven reset drew) so lockstep comparison
+        continues across randomized pool resets."""
+        self.timestep = 0
+        for name, value in arrays.items():
+            setattr(self, name, np.asarray(value).astype(np.int32).copy())
+        return self._generate_observation()
+
     def step(self, actions=None):
         self.timestep += 1
         assert isinstance(actions, dict) and len(actions) == self.num_agents
@@ -208,9 +217,40 @@ class TpuTagGridWorld(TagGridWorld, TpuEnvironmentContext):
     def _uses_reset_pool(self) -> bool:
         return False
 
-    def step_fn(self, state: dict) -> dict:
+    def observe_fn(self, state: dict):
+        """Pure observation from state (single replica); also used by the
+        engine to refresh the obs placeholder after POOL resets."""
         N = self.num_agents
         L = float(self.grid_length)
+        cx = state["loc_x"]
+        cy = state["loc_y"]
+        t = state[Constants.TIMESTEP]
+        is_runner = jnp.arange(N) == N - 1
+        xf = cx.astype(jnp.float32) / L
+        yf = cy.astype(jnp.float32) / L
+        types = is_runner.astype(jnp.float32)
+        t_norm = (t / self.episode_length).astype(jnp.float32)
+        if self.use_full_observation:
+            base = jnp.concatenate([xf, yf, types])  # (3N,)
+            return jnp.concatenate(
+                [
+                    jnp.broadcast_to(base, (N, 3 * N)),
+                    jnp.eye(N, dtype=jnp.float32),
+                    jnp.full((N, 1), t_norm),
+                ],
+                axis=1,
+            )  # (N, 4N + 1)
+        d2 = (cx[:-1] - cx[-1]) ** 2 + (cy[:-1] - cy[-1]) ** 2
+        nearest = jnp.argmin(d2)
+        target_x = jnp.where(is_runner, xf[nearest], xf[-1])
+        target_y = jnp.where(is_runner, yf[nearest], yf[-1])
+        return jnp.stack(
+            [xf, yf, target_x, target_y, types, jnp.full((N,), t_norm)],
+            axis=1,
+        )  # (N, 6)
+
+    def step_fn(self, state: dict) -> dict:
+        N = self.num_agents
         t = state[Constants.TIMESTEP] + 1
 
         x = state["loc_x"]
@@ -237,30 +277,6 @@ class TpuTagGridWorld(TagGridWorld, TpuEnvironmentContext):
         ).astype(jnp.float32)
         rewards = reward_tag + penalty
 
-        xf = cx.astype(jnp.float32) / L
-        yf = cy.astype(jnp.float32) / L
-        types = is_runner.astype(jnp.float32)
-        t_norm = (t / self.episode_length).astype(jnp.float32)
-        if self.use_full_observation:
-            base = jnp.concatenate([xf, yf, types])  # (3N,)
-            obs = jnp.concatenate(
-                [
-                    jnp.broadcast_to(base, (N, 3 * N)),
-                    jnp.eye(N, dtype=jnp.float32),
-                    jnp.full((N, 1), t_norm),
-                ],
-                axis=1,
-            )  # (N, 4N + 1)
-        else:
-            d2 = (cx[:-1] - cx[-1]) ** 2 + (cy[:-1] - cy[-1]) ** 2
-            nearest = jnp.argmin(d2)
-            target_x = jnp.where(is_runner, xf[nearest], xf[-1])
-            target_y = jnp.where(is_runner, yf[nearest], yf[-1])
-            obs = jnp.stack(
-                [xf, yf, target_x, target_y, types, jnp.full((N,), t_norm)],
-                axis=1,
-            )  # (N, 6)
-
         done = jnp.where(
             (t >= self.episode_length) | tag, 1, 0
         ).astype(jnp.int32)
@@ -268,10 +284,10 @@ class TpuTagGridWorld(TagGridWorld, TpuEnvironmentContext):
         out = dict(state)
         out["loc_x"] = cx.astype(jnp.int32)
         out["loc_y"] = cy.astype(jnp.int32)
-        out[_OBS] = obs
-        out[_REWARDS] = rewards
         out[Constants.TIMESTEP] = t
         out[Constants.DONE] = done
+        out[_OBS] = self.observe_fn(out)
+        out[_REWARDS] = rewards
         return out
 
 

@@ -177,13 +177,50 @@ class EnvironmentCPUvsTPU:
 
             # reset finished envs on both sides
             if done_tpu.any():
-                if engine.store.pools:
-                    # Pool-based resets draw random initial states, so the
-                    # two sides diverge after the first reset; lockstep
-                    # comparison ends here (pool-reset distributions are
-                    # tested separately, cf. reference test_pool_reset.py).
-                    return
                 engine.reset_only_done_envs()
+                if engine.store.pools:
+                    # Pool-based resets draw RANDOM pool rows, so the CPU
+                    # side cannot predict them.  Deep verification instead:
+                    # (a) every done env's post-reset target array must be
+                    # an exact member of the registered pool; (b) the CPU
+                    # env is SYNCED to the drawn row via its ``sync_state``
+                    # hook and lockstep comparison CONTINUES (the reference
+                    # checker has no pool handling and would just diverge).
+                    can_sync = all(
+                        hasattr(e, "sync_state") for e in cpu_envs
+                    )
+                    for env_id, is_done in enumerate(done_tpu):
+                        if not is_done:
+                            continue
+                        arrays = {}
+                        for target, pool in engine.store.pools.items():
+                            val = np.asarray(engine.state[target][env_id])
+                            pool_np = np.asarray(pool)
+                            member = (
+                                np.isclose(pool_np, val[None], atol=1e-5)
+                                .reshape(pool_np.shape[0], -1)
+                                .all(axis=1)
+                            )
+                            assert member.any(), (
+                                f"{scenario}: env {env_id} post-reset "
+                                f"{target!r} is not a row of its reset pool"
+                            )
+                            arrays[target] = val
+                        if can_sync:
+                            cpu_envs[env_id].reset()
+                            cpu_obs_list[env_id] = cpu_envs[env_id].sync_state(
+                                arrays
+                            )
+                    if not can_sync:
+                        # no sync hook on this env family: membership was
+                        # verified, lockstep cannot continue
+                        return
+                    self._compare_all_obs(
+                        engine, cpu_obs_list, threshold_pct,
+                        f"{scenario}: obs after pool reset at t={t}",
+                        only_envs=np.nonzero(done_tpu)[0].tolist(),
+                    )
+                    continue
                 # after reset the TPU obs placeholders are restored to the
                 # at-reset snapshot; verify against the CPU reset obs
                 cpu_obs_after = []

@@ -120,8 +120,15 @@ class TrainerA2C(TrainerBase):
             if ckpt:
                 self.load_model_checkpoint({tag: ckpt})
 
-        self._carry = self._maybe_shard_carry(self._init_carry())
-        self._iteration_fn = jax.jit(self._build_iteration_fn(), donate_argnums=(0,))
+        if self._is_eager:
+            # eager CPU backend: no pure env step to fuse — params stay in
+            # self.params, rollout runs per-step python, update stays jitted
+            self._eager_update_fn = jax.jit(self._make_update())
+        else:
+            self._carry = self._maybe_shard_carry(self._init_carry())
+            self._iteration_fn = jax.jit(
+                self._build_iteration_fn(), donate_argnums=(0,)
+            )
         self._act_fn = jax.jit(self._build_act_fn(), static_argnames=("use_argmax",))
 
     # ------------------------------------------------------------ program
@@ -278,29 +285,16 @@ class TrainerA2C(TrainerBase):
 
         return run
 
-    def _build_iteration_fn(self):
-        T = self.training_batch_size_per_env
+    def _make_update(self):
+        """The per-policy loss/optimizer update as a standalone jittable,
+        shared by the fused iteration program and the eager CPU-backend
+        path: ``update(params_all, opt_all, batch, timestep, k_down) ->
+        (new_params, new_opt, metrics)``."""
         trained = list(self.policies_to_train)
-        rollout = self._make_rollout()
 
-        def iteration(carry, timestep):
-            params = carry["params"]
-            rng, k_roll, k_down = jax.random.split(carry["rng"], 3)
-            step_keys = jax.random.split(k_roll, T)
-
-            (env_state, ep_acc, ep_sum, ep_count), batch = rollout(
-                params,
-                (
-                    carry["env_state"],
-                    carry["ep_acc"],
-                    carry["ep_sum"],
-                    carry["ep_count"],
-                ),
-                step_keys,
-            )
-
-            new_params = dict(carry["params"])
-            new_opt = dict(carry["opt"])
+        def update(params_all, opt_all, batch, timestep, k_down):
+            new_params = dict(params_all)
+            new_opt = dict(opt_all)
             all_metrics = {}
             down_keys = jax.random.split(k_down, max(len(trained), 1))
             for dk, tag in zip(down_keys, trained):
@@ -332,8 +326,8 @@ class TrainerA2C(TrainerBase):
 
                 num_epochs = self.ppo_num_epochs.get(tag, 1)
                 lr_t = self.lr_schedules[tag].value_at(timestep)
-                p_cur = carry["params"][tag]
-                opt_cur = carry["opt"][tag]
+                p_cur = params_all[tag]
+                opt_cur = opt_all[tag]
                 if num_epochs > 1:
                     # multi-epoch PPO (beyond reference parity): fix the
                     # behavior-policy log-probs before the first update so
@@ -367,6 +361,34 @@ class TrainerA2C(TrainerBase):
                 metrics["Learning rate"] = lr_t
                 metrics["Gradient norm"] = optax.global_norm(grads)
                 all_metrics[tag] = metrics
+            return new_params, new_opt, all_metrics
+
+        return update
+
+    def _build_iteration_fn(self):
+        T = self.training_batch_size_per_env
+        rollout = self._make_rollout()
+        update = self._make_update()
+
+        def iteration(carry, timestep):
+            params = carry["params"]
+            rng, k_roll, k_down = jax.random.split(carry["rng"], 3)
+            step_keys = jax.random.split(k_roll, T)
+
+            (env_state, ep_acc, ep_sum, ep_count), batch = rollout(
+                params,
+                (
+                    carry["env_state"],
+                    carry["ep_acc"],
+                    carry["ep_sum"],
+                    carry["ep_count"],
+                ),
+                step_keys,
+            )
+
+            new_params, new_opt, all_metrics = update(
+                carry["params"], carry["opt"], batch, timestep, k_down
+            )
 
             mean_ep_reward = ep_sum / jnp.maximum(ep_count, 1.0)
             for tag in all_metrics:
@@ -384,6 +406,69 @@ class TrainerA2C(TrainerBase):
             return new_carry, all_metrics
 
         return iteration
+
+    # ------------------------------------------------------- eager backend
+    def _eager_iteration(self, timestep):
+        """One training iteration against an eager (CPU numpy-env) engine:
+        python per-step rollout — the reference's own hot-loop structure
+        (``trainer_base.py:383-428``) — with the jitted act fn and the same
+        jitted update program as the fused path."""
+        eng = self.engine
+        T = self.training_batch_size_per_env
+        recs = []
+        for _ in range(T):
+            key = self._next_rng()
+            st = eng.state
+            per_policy = {}
+            rec = {}
+            sample_keys = jax.random.split(key, len(self.policies))
+            for sk, tag in zip(sample_keys, self.policies):
+                obs_p, mask_p = self._policy_obs_and_mask(st, None, tag)
+                logits_list, _ = self._policy_forward(
+                    tag, self.params[tag], obs_p, action_mask=mask_p
+                )
+                actions_p = self._sample_policy_actions(tag, sk, logits_list)
+                per_policy[tag] = actions_p
+                rec[f"obs_{tag}"] = np.asarray(obs_p)
+                rec[f"actions_{tag}"] = np.asarray(actions_p)
+                if mask_p is not None:
+                    rec[f"mask_{tag}"] = np.asarray(mask_p)
+            actions = np.asarray(self._scatter_actions(per_policy))
+            out = eng.step_all_envs(actions)
+            rewards = np.asarray(out[_REWARDS])
+            done = np.asarray(out[_DONE])
+            for tag in self.policies:
+                ids = self.policy_tag_to_agent_id_map[tag]
+                rec[f"rewards_{tag}"] = rewards[:, ids]
+            rec["done"] = done
+            recs.append(rec)
+
+            # episodic bookkeeping (reference :585-601)
+            self._ep_acc = getattr(
+                self, "_ep_acc",
+                np.zeros((self.num_envs, eng.n_agents), np.float32),
+            )
+            self._ep_sum = getattr(self, "_ep_sum", 0.0)
+            self._ep_count = getattr(self, "_ep_count", 0.0)
+            self._ep_acc = self._ep_acc + rewards
+            dm = done > 0
+            if dm.any():
+                self._ep_sum += float(self._ep_acc[dm].mean(axis=1).sum())
+                self._ep_count += float(dm.sum())
+                self._ep_acc[dm] = 0.0
+                eng.reset_only_done_envs()
+
+        batch = {k: np.stack([r[k] for r in recs]) for k in recs[0]}
+        self.params, self.opt_states, metrics = self._eager_update_fn(
+            dict(self.params), dict(self.opt_states), batch,
+            jnp.asarray(timestep, jnp.float32), self._next_rng(),
+        )
+        self.params = dict(self.params)
+        self.opt_states = dict(self.opt_states)
+        mean_ep = self._ep_sum / max(self._ep_count, 1.0)
+        for tag in metrics:
+            metrics[tag]["Mean episodic reward"] = jnp.asarray(mean_ep)
+        return metrics
 
     # ----------------------------------------------------- eval / fetching
     # evaluate_episodes lives in TrainerBase (done-masked, reference parity).

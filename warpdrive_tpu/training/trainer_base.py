@@ -205,6 +205,10 @@ class TrainerBase:
             f"engine stores obs with agent dim {eng_dim!r} but the trainer "
             f"was asked for {obs_dim_corresponding_to_num_agents!r}"
         )
+        # eager backend (CpuEnvEngine over numpy reference envs): no pure
+        # env step — trainers run a python per-step rollout instead of the
+        # fused jitted scan (reference env_backend='cpu' training)
+        self._is_eager = bool(getattr(self.engine, "is_eager", False))
 
         # per-policy spaces
         self.obs_space = {}
@@ -415,15 +419,21 @@ class TrainerBase:
         jitted iterations, metrics every ``metrics_log_freq``, checkpoints
         every ``model_params_save_freq``.
         """
-        assert self._iteration_fn is not None, "subclass must build the program"
+        assert self._iteration_fn is not None or self._is_eager, (
+            "subclass must build the program"
+        )
         steps_per_iter = self.training_batch_size_per_env * self.num_envs
 
         window_start = time.time()
         window_iters = 0
         for iteration in range(self.iters_completed, self.num_iters):
-            self._carry, metrics = self._iteration_fn(
-                self._carry, jnp.asarray(self.current_timestep, dtype=jnp.float32)
-            )
+            if self._is_eager:
+                metrics = self._eager_iteration(self.current_timestep)
+            else:
+                self._carry, metrics = self._iteration_fn(
+                    self._carry,
+                    jnp.asarray(self.current_timestep, dtype=jnp.float32),
+                )
             self.current_timestep += steps_per_iter
             self.iters_completed += 1
             window_iters += 1
@@ -446,7 +456,10 @@ class TrainerBase:
                 metrics_host = jax.tree_util.tree_map(
                     lambda x: float(np.asarray(x)), metrics
                 )
-                jax.block_until_ready(jax.tree_util.tree_leaves(self._carry)[0])
+                if self._carry is not None:
+                    jax.block_until_ready(
+                        jax.tree_util.tree_leaves(self._carry)[0]
+                    )
                 self.perf_stats.add_window(
                     window_iters,
                     window_iters * steps_per_iter,
@@ -485,7 +498,8 @@ class TrainerBase:
                 window_iters = 0
 
         # final checkpoint + sync (reference :374-381)
-        jax.block_until_ready(jax.tree_util.tree_leaves(self._carry)[0])
+        if self._carry is not None:
+            jax.block_until_ready(jax.tree_util.tree_leaves(self._carry)[0])
         self.save_model_checkpoint(self.current_timestep)
         self.graceful_close()
 
@@ -608,6 +622,8 @@ class TrainerBase:
         numpy arrays of shape ``(num_envs, num_agents_for_policy)`` and
         ``(num_envs,)``, exactly like the reference.
         """
+        if self._is_eager:
+            return self._evaluate_episodes_eager(use_argmax)
         mode = bool(use_argmax)
         if mode not in self._eval_fns:
             self._eval_fns[mode] = self._build_eval_fn(mode)
@@ -619,6 +635,33 @@ class TrainerBase:
         )
         rew_sum = np.asarray(rew_sum)
         step_sum = np.asarray(step_sum)
+        episodic_reward_sum = {}
+        episodic_step_sum = {}
+        for tag, ids in self.policy_tag_to_agent_id_map.items():
+            episodic_reward_sum[tag] = rew_sum[:, ids]
+            episodic_step_sum[tag] = step_sum.copy()
+        return episodic_reward_sum, episodic_step_sum
+
+    def _evaluate_episodes_eager(self, use_argmax: bool = True):
+        """Done-masked evaluation against the eager CPU backend: same
+        semantics as the jitted path, python-stepped."""
+        engine = self.engine
+        params = self._act_params()
+        E, N = self.num_envs, engine.n_agents
+        engine.reset_all_envs()
+        alive = np.ones((E,), dtype=bool)
+        rew_sum = np.zeros((E, N), np.float32)
+        step_sum = np.zeros((E,), np.int32)
+        for _ in range(engine.episode_length):
+            actions = self._act_fn(
+                params, engine.state, self._next_rng(), use_argmax=use_argmax
+            )
+            out = engine.step_all_envs(np.asarray(actions))
+            alive = alive & (np.asarray(out[Constants.DONE]) == 0)
+            rew_sum += np.asarray(out[Constants.REWARDS]) * alive[:, None]
+            step_sum += alive.astype(np.int32)
+            if not alive.any():
+                break
         episodic_reward_sum = {}
         episodic_step_sum = {}
         for tag, ids in self.policy_tag_to_agent_id_map.items():
@@ -798,6 +841,12 @@ class TrainerBase:
             "Rollout steps per sec": result["rollout_steps_per_sec"],
         }
         return result
+
+    def _eager_iteration(self, timestep):  # pragma: no cover - subclass
+        raise NotImplementedError(
+            "this trainer does not support the eager CPU backend; use "
+            "EnvEngine under JAX_PLATFORMS=cpu instead"
+        )
 
     def graceful_close(self):
         """No curand heap to free on TPU (reference ``:681-687``); sync only."""
