@@ -14,6 +14,7 @@ def register_all_envs():
         "warpdrive_tpu.envs.tag_continuous",
         "warpdrive_tpu.envs.asymmetric_pursuit",
         "warpdrive_tpu.envs.dummy_env",
+        "warpdrive_tpu.envs.chem_search",
     ):
         try:
             __import__(mod)
