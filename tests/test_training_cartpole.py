@@ -123,3 +123,25 @@ def test_profile_phases_breakdown(tmp_path):
     # ... and it feeds the logged perf stats
     stats = trainer.perf_stats.get_perf_stats()
     assert "Rollout time per iter (ms)" in stats
+
+
+def test_use_evaluator_logs_test_metrics(tmp_path):
+    """trainer.evaluator=True must add argmax test-time metrics at each log
+    (reference trainer_a2c.py:326-339)."""
+    import json
+
+    cfg = load_run_config("single_cartpole")
+    cfg["trainer"].update(
+        {"num_envs": 10, "train_batch_size": 500, "num_episodes": 200,
+         "seed": 4, "evaluator": True}
+    )
+    cfg["env"].update({"episode_length": 100, "reset_pool_size": 0})
+    cfg["saving"]["metrics_log_freq"] = 2
+    trainer = setup_trainer_and_train(
+        cfg, verbose=False, results_dir=str(tmp_path / "results")
+    )
+    lines = (tmp_path / "results" / "results.json").read_text().splitlines()
+    metrics = json.loads(lines[-1])["metrics"]["shared"]
+    assert "Mean episodic reward (test)" in metrics
+    assert "Mean episodic steps (test)" in metrics
+    assert 0 < metrics["Mean episodic steps (test)"] <= 100
