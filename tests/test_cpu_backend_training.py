@@ -58,3 +58,22 @@ def test_cpu_backend_trains_tag_gridworld(tmp_path):
     import os
 
     assert any("state_dict" in f for f in os.listdir(tmp_path / "r"))
+
+
+def test_cpu_backend_fetch_episode_states(tmp_path):
+    eng = CpuEnvEngine(
+        env_name="TagGridWorld",
+        env_config={"num_taggers": 2, "grid_length": 5, "episode_length": 15,
+                    "seed": 2},
+        num_envs=3,
+    )
+    trainer = TrainerA2C(
+        env_wrapper=eng, config=_cfg(3, T=10, iters=2), verbose=False,
+        results_dir=str(tmp_path / "r"),
+    )
+    traj = trainer.fetch_episode_states(
+        ["observations"], include_rewards_actions=True
+    )
+    assert traj["observations"].shape[0] >= 2
+    assert traj["rewards"].shape[0] == traj["observations"].shape[0] - 1
+    assert np.isfinite(traj["rewards"]).all()

@@ -231,3 +231,57 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_sharded_separate_placeholders_training_matches_unsharded(tmp_path):
+    """Separate per-policy placeholders (heterogeneous obs) under env-axis
+    sharding: the SPMD iteration must match single-device numerically."""
+    from warpdrive_tpu.envs.asymmetric_pursuit import TpuAsymmetricPursuit
+    from warpdrive_tpu.training.trainer_a2c import TrainerA2C
+
+    def build(shard):
+        env = TpuAsymmetricPursuit(
+            num_pursuers=2, num_evaders=3, grid_length=8.0,
+            catch_radius=1.5, episode_length=10,
+        )
+        eng = EnvEngine(
+            env_obj=env, num_envs=8, seed=4,
+            policy_tag_to_agent_id_map=env.policy_map(),
+            create_separate_placeholders_for_each_policy=True,
+        )
+        if shard:
+            eng = apply_env_sharding(eng, num_devices=8)
+        cfg = {
+            "name": "ap", "env": {},
+            "trainer": {"num_envs": 8, "num_episodes": 24,
+                        "train_batch_size": 48, "seed": 9},
+            "policy": {
+                t: {"to_train": True, "gamma": 0.95, "lr": 0.002,
+                    "model": {"type": "fully_connected", "fc_dims": [16]}}
+                for t in ("pursuer", "evader")
+            },
+            "saving": {"metrics_log_freq": 1, "model_params_save_freq": 1000},
+        }
+        return TrainerA2C(
+            env_wrapper=eng, config=cfg,
+            policy_tag_to_agent_id_map=env.policy_map(),
+            create_separate_placeholders_for_each_policy=True,
+            verbose=False, results_dir=str(tmp_path / f"s{shard}"),
+        )
+
+    t_a, t_b = build(False), build(True)
+    assert t_b.engine.mesh is not None
+    for _ in range(3):
+        t_a._carry, m_a = t_a._iteration_fn(t_a._carry, jnp.asarray(0.0))
+        t_b._carry, m_b = t_b._iteration_fn(t_b._carry, jnp.asarray(0.0))
+    for tag in ("pursuer", "evader"):
+        np.testing.assert_allclose(
+            float(m_a[tag]["Total loss"]), float(m_b[tag]["Total loss"]),
+            rtol=2e-4, atol=1e-5,
+        )
+        la = jax.tree_util.tree_leaves(t_a._carry["params"][tag])
+        lb = jax.tree_util.tree_leaves(t_b._carry["params"][tag])
+        for a, b in zip(la, lb):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5
+            )

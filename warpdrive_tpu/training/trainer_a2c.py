@@ -487,6 +487,14 @@ class TrainerA2C(TrainerBase):
         (episode_length + 1, ...) numpy arrays truncated at the done step.
         """
         assert isinstance(list_of_states, list) and len(list_of_states) > 0
+        if self._is_eager:
+            assert not include_probabilities, (
+                "include_probabilities is not supported on the eager CPU "
+                "backend"
+            )
+            return self._fetch_episode_states_eager(
+                list_of_states, env_id, include_rewards_actions
+            )
         engine = self.engine
         for name in list_of_states:
             assert name in engine.state, f"{name!r} is not a state array"

@@ -687,6 +687,10 @@ class TrainerBase:
             "include_probabilities is only available on trainers with "
             "categorical policies (TrainerA2C)"
         )
+        if self._is_eager:
+            return self._fetch_episode_states_eager(
+                list_of_states, env_id, include_rewards_actions
+            )
         engine = self.engine
         for name in list_of_states:
             assert name in engine.state, f"{name!r} is not a state array"
@@ -731,6 +735,39 @@ class TrainerBase:
             out["rewards"] = np.asarray(recs["_rewards"])[:end]
             out["actions"] = np.asarray(recs["_actions"])[:end]
         return out
+
+    def _fetch_episode_states_eager(
+        self, list_of_states, env_id, include_rewards_actions
+    ):
+        """Python-stepped episode replay for the eager CPU backend."""
+        engine = self.engine
+        for name in list_of_states:
+            assert name in engine.state, f"{name!r} is not a state array"
+        params = self._act_params()
+        engine.reset_all_envs()
+        recs = {name: [np.asarray(engine.state[name][env_id])]
+                for name in list_of_states}
+        rewards, actions_l = [], []
+        for _ in range(engine.episode_length):
+            actions = self._act_fn(
+                params, engine.state, self._next_rng(), use_argmax=False
+            )
+            if isinstance(actions, dict):
+                actions = self._scatter_actions(actions)
+            actions = np.asarray(actions)
+            out = engine.step_all_envs(actions)
+            for name in list_of_states:
+                recs[name].append(np.asarray(engine.state[name][env_id]))
+            if include_rewards_actions:
+                rewards.append(np.asarray(out[Constants.REWARDS][env_id]))
+                actions_l.append(actions[env_id])
+            if np.asarray(out[Constants.DONE][env_id]) > 0:
+                break
+        result = {name: np.stack(v) for name, v in recs.items()}
+        if include_rewards_actions:
+            result["rewards"] = np.stack(rewards)
+            result["actions"] = np.stack(actions_l)
+        return result
 
     def _build_rollout_profile_fn(self):  # pragma: no cover - subclass detail
         raise NotImplementedError
