@@ -63,3 +63,64 @@ def test_trains_a2c(tmp_path):
     # dense logging works (position flagged)
     traj = tr.fetch_logged_episode()
     assert traj["position"].shape[1:] == (1, 3)
+
+
+def _cfg_two_atom():
+    nx, ny = 6, 6
+    z_lo, z_hi = 1, 4
+    eff = z_hi - z_lo
+    rng = np.random.RandomState(8)
+    en6 = rng.uniform(-1.0, 1.0, size=(nx, ny, eff, nx, ny, eff)).astype(
+        np.float32
+    )
+    return {
+        "ienergy": 0.2,
+        "max_denergy": 2.0,
+        "nx": nx, "ny": ny, "nz": 6,
+        "z_slab_lower": z_lo, "z_slab_upper": z_hi,
+        "initial_state": [1, 1, 2, 4, 4, 2],
+        "final_state": [5, 5, 2, 0, 0, 2],
+        "terminate_reward": 10.0,
+        "min_reward": -1.0,
+        "episode_length": 20,
+        "en_array": en6,
+    }
+
+
+def test_two_atom_consistency():
+    from warpdrive_tpu.envs.chem_search import (
+        SingleAgentTwoAtomChemSearch,
+        TpuSingleAgentTwoAtomChemSearch,
+    )
+
+    EnvironmentCPUvsTPU(
+        cpu_env_class=SingleAgentTwoAtomChemSearch,
+        tpu_env_class=TpuSingleAgentTwoAtomChemSearch,
+        env_configs={"base": _cfg_two_atom()},
+        num_envs=3,
+        num_episodes=2,
+    ).test_env_reset_and_step(threshold_pct=0.1, seed=23)
+
+
+def test_two_atom_trains_a2c(tmp_path):
+    from warpdrive_tpu.envs.chem_search import TpuSingleAgentTwoAtomChemSearch
+    from warpdrive_tpu.envs.engine import EnvEngine
+    from warpdrive_tpu.training.trainer_a2c import TrainerA2C
+
+    env = TpuSingleAgentTwoAtomChemSearch(**_cfg_two_atom())
+    eng = EnvEngine(env_obj=env, num_envs=8, seed=3)
+    cfg = {
+        "name": "chem2", "env": {},
+        "trainer": {"num_envs": 8, "num_episodes": 60,
+                    "train_batch_size": 240, "seed": 7},
+        "policy": {"shared": {"to_train": True, "algorithm": "A2C",
+                              "gamma": 0.97, "lr": 0.003,
+                              "model": {"type": "fully_connected",
+                                        "fc_dims": [32]}}},
+        "saving": {"metrics_log_freq": 2, "model_params_save_freq": 1000},
+    }
+    tr = TrainerA2C(env_wrapper=eng, config=cfg, verbose=False,
+                    results_dir=str(tmp_path / "r"))
+    tr.train()
+    rew, _ = tr.evaluate_episodes(use_argmax=True)
+    assert np.isfinite(rew["shared"]).all()
