@@ -77,3 +77,43 @@ def test_cpu_backend_fetch_episode_states(tmp_path):
     assert traj["observations"].shape[0] >= 2
     assert traj["rewards"].shape[0] == traj["observations"].shape[0] - 1
     assert np.isfinite(traj["rewards"]).all()
+
+
+def test_cpu_backend_trains_ddpg_pendulum(tmp_path):
+    """DDPG on the eager CPU backend (numpy reference Pendulum)."""
+    from warpdrive_tpu.training.trainer_ddpg import TrainerDDPG
+
+    eng = CpuEnvEngine(
+        env_name="ClassicControlPendulumEnv",
+        env_config={"episode_length": 20, "reset_pool_size": 0, "seed": 3},
+        num_envs=4,
+    )
+    cfg = {
+        "name": "pend_cpu", "env": {},
+        "trainer": {"num_envs": 4, "num_episodes": 24,
+                    "train_batch_size": 40, "seed": 5, "n_step": 1},
+        "policy": {"shared": {
+            "to_train": True, "algorithm": "DDPG", "gamma": 0.98,
+            "lr": {"actor": 0.001, "critic": 0.002}, "tau": 0.05,
+            "model": {"type": "fully_connected_actor_critic",
+                      "actor": {"type": "fully_connected_actor",
+                                "fc_dims": [16], "output_w": 2.0},
+                      "critic": {"type": "fully_connected_action_value_critic",
+                                 "fc_dims": [16]}},
+        }},
+        "saving": {"metrics_log_freq": 2, "model_params_save_freq": 1000},
+    }
+    trainer = TrainerDDPG(
+        env_wrapper=eng, config=cfg, verbose=False,
+        results_dir=str(tmp_path / "r"),
+    )
+    trainer.train()
+    assert trainer.iters_completed == trainer.num_iters
+    import json
+
+    lines = (tmp_path / "r" / "results.json").read_text().splitlines()
+    metrics = json.loads(lines[-1])["metrics"]["shared"]
+    assert np.isfinite(metrics["Total loss"])
+    assert metrics["Buffer full"] == 1.0
+    rew, steps = trainer.evaluate_episodes()
+    assert np.isfinite(rew["shared"]).all()

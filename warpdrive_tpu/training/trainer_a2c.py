@@ -442,21 +442,7 @@ class TrainerA2C(TrainerBase):
                 rec[f"rewards_{tag}"] = rewards[:, ids]
             rec["done"] = done
             recs.append(rec)
-
-            # episodic bookkeeping (reference :585-601)
-            self._ep_acc = getattr(
-                self, "_ep_acc",
-                np.zeros((self.num_envs, eng.n_agents), np.float32),
-            )
-            self._ep_sum = getattr(self, "_ep_sum", 0.0)
-            self._ep_count = getattr(self, "_ep_count", 0.0)
-            self._ep_acc = self._ep_acc + rewards
-            dm = done > 0
-            if dm.any():
-                self._ep_sum += float(self._ep_acc[dm].mean(axis=1).sum())
-                self._ep_count += float(dm.sum())
-                self._ep_acc[dm] = 0.0
-                eng.reset_only_done_envs()
+            self._eager_ep_bookkeep(rewards, done)
 
         batch = {k: np.stack([r[k] for r in recs]) for k in recs[0]}
         self.params, self.opt_states, metrics = self._eager_update_fn(
@@ -465,9 +451,10 @@ class TrainerA2C(TrainerBase):
         )
         self.params = dict(self.params)
         self.opt_states = dict(self.opt_states)
-        mean_ep = self._ep_sum / max(self._ep_count, 1.0)
         for tag in metrics:
-            metrics[tag]["Mean episodic reward"] = jnp.asarray(mean_ep)
+            metrics[tag]["Mean episodic reward"] = jnp.asarray(
+                self._eager_mean_ep_reward
+            )
         return metrics
 
     # ----------------------------------------------------- eval / fetching

@@ -885,6 +885,47 @@ class TrainerBase:
             "EnvEngine under JAX_PLATFORMS=cpu instead"
         )
 
+    def _eager_ep_bookkeep(self, rewards: np.ndarray, done: np.ndarray):
+        """Episodic reward accounting for the eager rollout paths
+        (reference ``trainer_base.py:585-601``); also soft-resets finished
+        envs.  Returns nothing; accumulates on ``self``."""
+        if not hasattr(self, "_ep_acc"):
+            self._ep_acc = np.zeros_like(rewards)
+            self._ep_sum = 0.0
+            self._ep_count = 0.0
+        self._ep_acc = self._ep_acc + rewards
+        dm = done > 0
+        if dm.any():
+            self._ep_sum += float(self._ep_acc[dm].mean(axis=1).sum())
+            self._ep_count += float(dm.sum())
+            self._ep_acc[dm] = 0.0
+            self.engine.reset_only_done_envs()
+
+    @property
+    def _eager_mean_ep_reward(self) -> float:
+        return getattr(self, "_ep_sum", 0.0) / max(
+            getattr(self, "_ep_count", 0.0), 1.0
+        )
+
+    def profile_trace(self, logdir: str, iterations: int = 3) -> str:
+        """
+        Capture a ``jax.profiler`` trace of ``iterations`` un-donated
+        training iterations (viewable in TensorBoard / Perfetto) — the deep
+        complement to :meth:`profile_phases`; replaces the reference's
+        cuda-event timers with XLA's own op-level timeline.
+        """
+        assert self._iteration_fn is not None and self._carry is not None
+        undonated = jax.jit(self._build_iteration_fn())
+        carry = jax.tree_util.tree_map(jnp.copy, self._carry)
+        t0 = jnp.asarray(0.0, jnp.float32)
+        out, _ = undonated(carry, t0)  # compile outside the trace
+        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+        with jax.profiler.trace(logdir):
+            for _ in range(iterations):
+                out, _ = undonated(carry, t0)
+            jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+        return logdir
+
     def graceful_close(self):
         """No curand heap to free on TPU (reference ``:681-687``); sync only."""
         if self._carry is not None:

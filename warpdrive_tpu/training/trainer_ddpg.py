@@ -161,8 +161,27 @@ class TrainerDDPG(TrainerBase):
             self.critic_optimizers[tag] = make_opt(clip, max_norm)
 
         self.params = {"actor": actor_params, "critic": critic_params}
-        self._carry = self._maybe_shard_carry(self._init_carry())
-        self._iteration_fn = jax.jit(self._build_iteration_fn(), donate_argnums=(0,))
+        if self._is_eager:
+            # eager CPU backend: replay state lives in self._eager_nets;
+            # the rollout is python-stepped, the replay+update stays jitted
+            self._eager_replay_update_fn = jax.jit(self._make_replay_update())
+            init = self._init_carry()
+            self._eager_nets = {
+                k: init[k]
+                for k in (
+                    "actor", "critic", "target_actor", "target_critic",
+                    "opt_actor", "opt_critic", "buf", "done_buf", "filled",
+                )
+            }
+            self._eager_ou = {
+                tag: np.zeros_like(np.asarray(init["ou"][tag]))
+                for tag in self.policies
+            }
+        else:
+            self._carry = self._maybe_shard_carry(self._init_carry())
+            self._iteration_fn = jax.jit(
+                self._build_iteration_fn(), donate_argnums=(0,)
+            )
         self._act_fn = jax.jit(
             self._build_act_fn(), static_argnames=("use_argmax",)
         )
@@ -377,39 +396,22 @@ class TrainerDDPG(TrainerBase):
 
         return run
 
-    def _build_iteration_fn(self):
+    def _make_replay_update(self):
+        """Sliding-window replay append + per-policy DDPG update as a
+        standalone jittable, shared by the fused iteration program and the
+        eager CPU-backend path: ``replay_update(nets, rows, timestep) ->
+        (new_nets, metrics)`` where ``nets`` holds actor/critic/targets/
+        optimizer states and the replay buffers."""
         T = self.training_batch_size_per_env
         cap = self.buffer_capacity
         policies = list(self.policies)
         trained = list(self.policies_to_train)
-        rollout = self._make_rollout()
 
-        def iteration(carry, timestep):
-            rng, k_roll, k_noise = jax.random.split(carry["rng"], 3)
-            step_keys = jax.random.split(k_roll, T)
-
-            damping = self.ou_damping.value_at(timestep)
-            stddev = self.ou_stddev.value_at(timestep)
-            scale = self.ou_scale.value_at(timestep)
-
-            ou_noise = self._presample_ou_noise(carry, k_noise, stddev)
-
-            (env_state, ou, ep_acc, ep_sum, ep_count), rows = rollout(
-                carry["actor"],
-                (
-                    carry["env_state"],
-                    carry["ou"],
-                    carry["ep_acc"],
-                    carry["ep_sum"],
-                    carry["ep_count"],
-                ),
-                step_keys, ou_noise, damping, stddev, scale,
-            )
-
+        def replay_update(nets, rows, timestep):
             # ---- sliding-window replay update (RingBuffer parity) ----------
             new_buf = {}
             for tag in policies:
-                b = carry["buf"][tag]
+                b = nets["buf"][tag]
                 new_buf[tag] = {
                     "obs": jnp.concatenate(
                         [b["obs"][T:], rows[f"obs_{tag}"]], axis=0
@@ -422,18 +424,18 @@ class TrainerDDPG(TrainerBase):
                     ),
                 }
             done_buf = jnp.concatenate(
-                [carry["done_buf"][T:], rows["done"]], axis=0
+                [nets["done_buf"][T:], rows["done"]], axis=0
             )
-            filled = jnp.minimum(carry["filled"] + T, cap)
+            filled = jnp.minimum(nets["filled"] + T, cap)
             is_full = (filled >= cap).astype(jnp.float32)
 
             # ---- per-policy updates, gated on buffer fullness --------------
-            new_actor = dict(carry["actor"])
-            new_critic = dict(carry["critic"])
-            new_t_actor = dict(carry["target_actor"])
-            new_t_critic = dict(carry["target_critic"])
-            new_opt_a = dict(carry["opt_actor"])
-            new_opt_c = dict(carry["opt_critic"])
+            new_actor = dict(nets["actor"])
+            new_critic = dict(nets["critic"])
+            new_t_actor = dict(nets["target_actor"])
+            new_t_critic = dict(nets["target_critic"])
+            new_opt_a = dict(nets["opt_actor"])
+            new_opt_c = dict(nets["opt_critic"])
             all_metrics = {}
 
             for tag in trained:
@@ -446,9 +448,9 @@ class TrainerDDPG(TrainerBase):
 
                 # target next-Q: Q'(s_{t+1}, pi'(s_{t+1})), length cap-1
                 # (reference ``trainer_ddpg.py:349-356``)
-                t_mu = actor_m.apply(carry["target_actor"][tag], obs_b)
+                t_mu = actor_m.apply(nets["target_actor"][tag], obs_b)
                 next_q = critic_m.apply(
-                    carry["target_critic"][tag], obs_b[1:], t_mu[1:]
+                    nets["target_critic"][tag], obs_b[1:], t_mu[1:]
                 )
                 next_q = jax.lax.stop_gradient(next_q)
 
@@ -478,10 +480,10 @@ class TrainerDDPG(TrainerBase):
                     return -norm_j.mean()
 
                 c_grads, metrics = jax.grad(critic_loss_fn, has_aux=True)(
-                    carry["critic"][tag]
+                    nets["critic"][tag]
                 )
                 (a_loss, a_grads) = jax.value_and_grad(actor_loss_fn)(
-                    carry["actor"][tag], jax.lax.stop_gradient(carry["critic"][tag])
+                    nets["actor"][tag], jax.lax.stop_gradient(nets["critic"][tag])
                 )
                 # the critic-side aux metrics computed "Actor loss" from
                 # Q(s, a); report the true -mean Q(s, pi(s)) instead
@@ -499,13 +501,13 @@ class TrainerDDPG(TrainerBase):
                     lambda n, o: jnp.where(full_b, n, o), new, old
                 )
                 c_updates, opt_c_new = self.critic_optimizers[tag].update(
-                    c_grads, carry["opt_critic"][tag], carry["critic"][tag]
+                    c_grads, nets["opt_critic"][tag], nets["critic"][tag]
                 )
                 a_updates, opt_a_new = self.actor_optimizers[tag].update(
-                    a_grads, carry["opt_actor"][tag], carry["actor"][tag]
+                    a_grads, nets["opt_actor"][tag], nets["actor"][tag]
                 )
-                new_opt_c[tag] = sel(opt_c_new, carry["opt_critic"][tag])
-                new_opt_a[tag] = sel(opt_a_new, carry["opt_actor"][tag])
+                new_opt_c[tag] = sel(opt_c_new, nets["opt_critic"][tag])
+                new_opt_a[tag] = sel(opt_a_new, nets["opt_actor"][tag])
                 actor_lr = self.actor_lr_schedules[tag].value_at(timestep)
                 critic_lr = self.critic_lr_schedules[tag].value_at(timestep)
                 c_updates = jax.tree_util.tree_map(
@@ -515,19 +517,19 @@ class TrainerDDPG(TrainerBase):
                     lambda u: u * actor_lr * is_full, a_updates
                 )
                 new_critic[tag] = optax.apply_updates(
-                    carry["critic"][tag], c_updates
+                    nets["critic"][tag], c_updates
                 )
                 new_actor[tag] = optax.apply_updates(
-                    carry["actor"][tag], a_updates
+                    nets["actor"][tag], a_updates
                 )
 
                 # soft target updates, also gated (reference :412-413)
                 tau_eff = self.tau[tag] * is_full
                 new_t_actor[tag] = soft_update(
-                    carry["target_actor"][tag], new_actor[tag], tau_eff
+                    nets["target_actor"][tag], new_actor[tag], tau_eff
                 )
                 new_t_critic[tag] = soft_update(
-                    carry["target_critic"][tag], new_critic[tag], tau_eff
+                    nets["target_critic"][tag], new_critic[tag], tau_eff
                 )
 
                 metrics["Current timestep"] = timestep
@@ -538,22 +540,66 @@ class TrainerDDPG(TrainerBase):
                 metrics["Buffer full"] = is_full
                 all_metrics[tag] = metrics
 
-            mean_ep_reward = ep_sum / jnp.maximum(ep_count, 1.0)
-            for tag in all_metrics:
-                all_metrics[tag]["Mean episodic reward"] = mean_ep_reward
 
-            new_carry = {
-                "env_state": env_state,
+            new_nets = {
                 "actor": new_actor,
                 "critic": new_critic,
                 "target_actor": new_t_actor,
                 "target_critic": new_t_critic,
                 "opt_actor": new_opt_a,
                 "opt_critic": new_opt_c,
-                "ou": ou,
                 "buf": new_buf,
                 "done_buf": done_buf,
                 "filled": filled,
+            }
+            return new_nets, all_metrics
+
+        return replay_update
+
+    def _build_iteration_fn(self):
+        T = self.training_batch_size_per_env
+        rollout = self._make_rollout()
+        replay_update = self._make_replay_update()
+
+        def iteration(carry, timestep):
+            rng, k_roll, k_noise = jax.random.split(carry["rng"], 3)
+            step_keys = jax.random.split(k_roll, T)
+
+            damping = self.ou_damping.value_at(timestep)
+            stddev = self.ou_stddev.value_at(timestep)
+            scale = self.ou_scale.value_at(timestep)
+
+            ou_noise = self._presample_ou_noise(carry, k_noise, stddev)
+
+            (env_state, ou, ep_acc, ep_sum, ep_count), rows = rollout(
+                carry["actor"],
+                (
+                    carry["env_state"],
+                    carry["ou"],
+                    carry["ep_acc"],
+                    carry["ep_sum"],
+                    carry["ep_count"],
+                ),
+                step_keys, ou_noise, damping, stddev, scale,
+            )
+
+            nets = {
+                k: carry[k]
+                for k in (
+                    "actor", "critic", "target_actor", "target_critic",
+                    "opt_actor", "opt_critic", "buf", "done_buf", "filled",
+                )
+            }
+            new_nets, all_metrics = replay_update(nets, rows, timestep)
+
+            mean_ep_reward = ep_sum / jnp.maximum(ep_count, 1.0)
+            for tag in all_metrics:
+                all_metrics[tag]["Mean episodic reward"] = mean_ep_reward
+
+            new_carry = {
+                "env_state": env_state,
+                **new_nets,
+                "ou": ou,
                 "rng": rng,
                 "ep_acc": ep_acc,
                 "ep_sum": ep_sum,
@@ -619,6 +665,70 @@ class TrainerDDPG(TrainerBase):
             assert len(timesteps) == 1, "checkpoints disagree on the timestep"
             self.current_timestep = timesteps.pop()
         self._rebuild_carry_params()
+
+    # ------------------------------------------------------- eager backend
+    def _act_params(self):
+        if self._carry is None and "actor" in self.params:
+            return self.params["actor"]
+        return super()._act_params()
+
+    def _eager_iteration(self, timestep):
+        """One DDPG iteration against an eager (CPU numpy-env) engine:
+        python per-step rollout with OU exploration; the replay append and
+        the actor/critic update run through the same jitted program as the
+        fused path."""
+        eng = self.engine
+        T = self.training_batch_size_per_env
+        damping = self.ou_damping.get_param_value(timestep)
+        stddev = self.ou_stddev.get_param_value(timestep)
+        scale = self.ou_scale.get_param_value(timestep)
+        actor_params = self.params["actor"]
+        recs = []
+        for _ in range(T):
+            st = eng.state
+            per_policy = {}
+            rec = {}
+            for tag in self.policies:
+                obs_p, _ = self._policy_obs_and_mask(st, None, tag)
+                mu = self.actor_models[tag].apply(actor_params[tag], obs_p)
+                noise = stddev * np.asarray(
+                    jax.random.normal(self._next_rng(), mu.shape)
+                )
+                actions_p, new_ou = sample_ou_process(
+                    None, mu, jnp.asarray(self._eager_ou[tag]),
+                    damping=damping, stddev=stddev, scale=scale,
+                    noise=jnp.asarray(noise),
+                )
+                self._eager_ou[tag] = np.asarray(new_ou)
+                per_policy[tag] = actions_p
+                rec[f"obs_{tag}"] = np.asarray(obs_p)
+                rec[f"actions_{tag}"] = np.asarray(actions_p)
+            actions = np.asarray(self._scatter_actions(per_policy))
+            out = eng.step_all_envs(actions)
+            rewards = np.asarray(out[_REWARDS])
+            done = np.asarray(out[_DONE])
+            for tag in self.policies:
+                ids = self.policy_tag_to_agent_id_map[tag]
+                rec[f"rewards_{tag}"] = rewards[:, ids]
+            rec["done"] = done
+            recs.append(rec)
+            self._eager_ep_bookkeep(rewards, done)
+
+        rows = {k: np.stack([r[k] for r in recs]) for k in recs[0]}
+        self._eager_nets, metrics = self._eager_replay_update_fn(
+            dict(self._eager_nets), rows, jnp.asarray(timestep, jnp.float32)
+        )
+        self._eager_nets = dict(self._eager_nets)
+        # keep self.params pointing at the live nets (acting + checkpoints)
+        self.params = {
+            "actor": dict(self._eager_nets["actor"]),
+            "critic": dict(self._eager_nets["critic"]),
+        }
+        for tag in metrics:
+            metrics[tag]["Mean episodic reward"] = jnp.asarray(
+                self._eager_mean_ep_reward
+            )
+        return metrics
 
     # ------------------------------------------------------------ evaluate
     # evaluate_episodes lives in TrainerBase (done-masked, reference parity;
