@@ -544,6 +544,49 @@ class TrainerBase:
             with open(self._ckpt_path(policy, timestep), "wb") as f:
                 f.write(payload)
 
+    # ---- full train-state checkpointing (beyond reference parity: the
+    # reference saves model params only, trainer_a2c.py:361-384; SURVEY §5
+    # flags full-pytree checkpointing as the TPU-build upgrade) -----------
+    def save_full_state(self, path: str = None) -> str:
+        """
+        Serialize the ENTIRE training state — model params, optimizer
+        moments, env state, episodic accounting, and the RNG — so a run can
+        resume exactly where it stopped (the reference cannot: it
+        checkpoints params only and loses optimizer/env state).
+        """
+        assert self._carry is not None, (
+            "full-state checkpointing requires the fused trainer (not the "
+            "eager CPU backend)"
+        )
+        path = path or os.path.join(
+            self.save_dir, f"full_state_{self.current_timestep}.ckpt"
+        )
+        payload = {
+            "carry": jax.device_get(self._carry),
+            "rng": jax.device_get(self._rng),
+            "current_timestep": self.current_timestep,
+            "iters_completed": self.iters_completed,
+        }
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes(payload))
+        return path
+
+    def load_full_state(self, path: str):
+        """Restore a :meth:`save_full_state` checkpoint and resume."""
+        assert self._carry is not None
+        template = {
+            "carry": jax.device_get(self._carry),
+            "rng": jax.device_get(self._rng),
+            "current_timestep": 0,
+            "iters_completed": 0,
+        }
+        with open(path, "rb") as f:
+            payload = serialization.from_bytes(template, f.read())
+        self._carry = self._maybe_shard_carry(payload["carry"])
+        self._rng = jnp.asarray(payload["rng"])
+        self.current_timestep = int(payload["current_timestep"])
+        self.iters_completed = int(payload["iters_completed"])
+
     def load_model_checkpoint(self, ckpt_filepaths: dict):
         """
         Restore per-policy params from files whose names encode the saved
