@@ -1,11 +1,13 @@
 #!/bin/bash
 # One serial TPU pipeline (single-tenant chip): wait for the backend, then
+# NOTE: no `timeout` on chip-touching processes — killing a TPU client
+# mid-compile wedges the chip claim (CLAUDE.md rule 1).
 # run the bench and the staged perf experiments, logging everything.
 LOG=/root/repo/artifacts/round2/tpu_pipeline.log
 cd /root/repo
 while true; do
   echo "=== probe $(date) ===" >> $LOG
-  timeout 1800 python -u - >> $LOG 2>&1 <<'PY'
+  python -u - >> $LOG 2>&1 <<'PY'
 import time, jax
 t0=time.time()
 d = jax.devices()
@@ -18,9 +20,9 @@ PY
   sleep 600
 done
 echo "=== TPU live; running bench $(date) ===" >> $LOG
-timeout 3000 python -u bench.py > /root/repo/artifacts/round2/BENCH_TPU.json 2>> $LOG
+python -u bench.py > /root/repo/artifacts/round2/BENCH_TPU.json 2>> $LOG
 echo "=== bench rc=$? ===" >> $LOG
 cat /root/repo/artifacts/round2/BENCH_TPU.json >> $LOG
 echo "=== perf experiments $(date) ===" >> $LOG
-timeout 5400 python -u artifacts/round2/tpu_perf_experiments.py >> $LOG 2>&1
+python -u artifacts/round2/tpu_perf_experiments.py >> $LOG 2>&1
 echo "=== pipeline done rc=$? $(date) ===" >> $LOG

@@ -117,3 +117,36 @@ def test_cpu_backend_trains_ddpg_pendulum(tmp_path):
     assert metrics["Buffer full"] == 1.0
     rew, steps = trainer.evaluate_episodes()
     assert np.isfinite(rew["shared"]).all()
+
+
+def test_eager_mid_training_eval_does_not_corrupt_engine(tmp_path):
+    """Mid-training evaluation on the eager backend must leave the live
+    engine exactly as it found it (the fused path evaluates on a copy)."""
+    eng = CpuEnvEngine(
+        env_name="TagGridWorld",
+        env_config={"num_taggers": 2, "grid_length": 5, "episode_length": 20,
+                    "seed": 7},
+        num_envs=3,
+    )
+    cfg = _cfg(3, T=10, iters=2)
+    cfg["trainer"]["evaluator"] = True
+    trainer = TrainerA2C(
+        env_wrapper=eng, config=cfg, verbose=False,
+        results_dir=str(tmp_path / "r"),
+    )
+    # advance training a bit so envs are mid-episode
+    trainer._eager_iteration(0)
+    before = {k: np.asarray(v).copy() for k, v in eng.state.items()}
+    env_locs = [(e.loc_x.copy(), e.loc_y.copy(), e.timestep)
+                for e in eng.envs]
+
+    trainer.evaluate_episodes(use_argmax=True)
+    trainer.fetch_episode_states(["observations"])
+
+    after = eng.state
+    for k in before:
+        np.testing.assert_array_equal(before[k], np.asarray(after[k]), k)
+    for (x0, y0, t0), e in zip(env_locs, eng.envs):
+        np.testing.assert_array_equal(x0, e.loc_x)
+        np.testing.assert_array_equal(y0, e.loc_y)
+        assert t0 == e.timestep

@@ -172,6 +172,27 @@ class CpuEnvEngine:
             _DONE: self.state[_DONE],
         }
 
+    def snapshot_runtime_state(self):
+        """Deep snapshot of the python env objects + facade state, so
+        mid-training evaluation/fetch can run a full episode on the live
+        engine and restore it afterwards (the fused engine evaluates on a
+        COPY of its state dict; the eager backend must emulate that)."""
+        import copy
+
+        return {
+            "envs": copy.deepcopy(self.envs),
+            "done": self._done.copy(),
+            "timestep": self._timestep.copy(),
+            "state": {k: np.asarray(v).copy() for k, v in self.state.items()},
+        }
+
+    def restore_runtime_state(self, snap):
+        self.envs = snap["envs"]
+        self.env = self.envs[0]
+        self._done = snap["done"].copy()
+        self._timestep = snap["timestep"].copy()
+        self.state = {k: v.copy() for k, v in snap["state"].items()}
+
     def reset_only_done_envs(self):
         obs_now = self.state[_OBS].copy()
         for e, env in enumerate(self.envs):

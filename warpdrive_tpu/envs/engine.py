@@ -69,6 +69,11 @@ class EnvEngine:
         create_separate_placeholders_for_each_policy: bool = False,
         obs_dim_corresponding_to_num_agents: str = "first",
     ):
+        if isinstance(env_backend, bool):
+            # the reference's deprecated ``use_cuda`` was a BOOL; the Argfix
+            # rename forwards it here, so interpret True as the accelerator
+            # backend (False would be the numpy/CPU engine)
+            env_backend = "tpu" if env_backend else "cpu"
         assert env_backend == "tpu", (
             "EnvEngine compiles the TPU backend; for the numpy reference "
             "implementation instantiate the env class directly (as the "

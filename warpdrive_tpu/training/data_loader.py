@@ -92,13 +92,25 @@ def get_obs_group(
     """
     Stack one group's per-agent observations (reference ``get_obs``,
     ``data_loader.py:681-690``): "first" -> (agents, *feat); "last" ->
-    (*feat, agents) via a swap of the first and last axes.
+    (feat, agents) via a swap of the first and last axes.
+
+    "last" mode is restricted to 1-D per-agent features: for >=2-D features
+    the reference's own swapaxes stacking, its model-side permute, and the
+    env kernel's natural write order disagree on feature-axis order (a
+    latent upstream quirk); rather than silently transposing features, we
+    reject the combination.
     """
     if obs_key is not None:
         stacked = np.asarray([np.asarray(obs[aid][obs_key]) for aid in agent_ids])
     else:
         stacked = np.asarray([np.asarray(obs[aid]) for aid in agent_ids])
     if obs_dim_corresponding_to_num_agents == "last" and len(agent_ids) > 1:
+        assert stacked.ndim <= 2, (
+            "obs_dim_corresponding_to_num_agents='last' supports 1-D "
+            f"per-agent features only (got feature shape "
+            f"{stacked.shape[1:]}); store multi-dim features agent-dim-"
+            "first, or flatten them in the env"
+        )
         return np.swapaxes(stacked, 0, -1)
     return stacked
 

@@ -55,7 +55,7 @@ class TrainerA2C(TrainerBase):
         self.ppo_num_epochs = {}
 
         init_rng = self._next_rng()
-        obs0 = self.engine.reset_all_envs()  # builds initial state
+        self.engine.reset_all_envs()  # builds the initial state
 
         for tag in self.policies:
             policy_cfg = config["policy"][tag]

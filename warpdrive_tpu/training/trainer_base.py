@@ -687,10 +687,14 @@ class TrainerBase:
 
     def _evaluate_episodes_eager(self, use_argmax: bool = True):
         """Done-masked evaluation against the eager CPU backend: same
-        semantics as the jitted path, python-stepped."""
+        semantics as the jitted path, python-stepped.  The live engine is
+        snapshotted and restored so a mid-training evaluation cannot
+        corrupt the training rollout state (the fused path evaluates on a
+        copied state dict and has no such hazard)."""
         engine = self.engine
         params = self._act_params()
         E, N = self.num_envs, engine.n_agents
+        runtime_snap = engine.snapshot_runtime_state()
         engine.reset_all_envs()
         alive = np.ones((E,), dtype=bool)
         rew_sum = np.zeros((E, N), np.float32)
@@ -705,6 +709,7 @@ class TrainerBase:
             step_sum += alive.astype(np.int32)
             if not alive.any():
                 break
+        engine.restore_runtime_state(runtime_snap)
         episodic_reward_sum = {}
         episodic_step_sum = {}
         for tag, ids in self.policy_tag_to_agent_id_map.items():
@@ -782,11 +787,13 @@ class TrainerBase:
     def _fetch_episode_states_eager(
         self, list_of_states, env_id, include_rewards_actions
     ):
-        """Python-stepped episode replay for the eager CPU backend."""
+        """Python-stepped episode replay for the eager CPU backend; the
+        live engine is snapshotted/restored (see eval above)."""
         engine = self.engine
         for name in list_of_states:
             assert name in engine.state, f"{name!r} is not a state array"
         params = self._act_params()
+        runtime_snap = engine.snapshot_runtime_state()
         engine.reset_all_envs()
         recs = {name: [np.asarray(engine.state[name][env_id])]
                 for name in list_of_states}
@@ -806,6 +813,7 @@ class TrainerBase:
                 actions_l.append(actions[env_id])
             if np.asarray(out[Constants.DONE][env_id]) > 0:
                 break
+        engine.restore_runtime_state(runtime_snap)
         result = {name: np.stack(v) for name, v in recs.items()}
         if include_rewards_actions:
             result["rewards"] = np.stack(rewards)

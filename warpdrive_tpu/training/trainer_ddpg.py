@@ -88,7 +88,7 @@ class TrainerDDPG(TrainerBase):
         self.ou_scale = ParamScheduler(sampler_params.get("scale", 1.0))
 
         init_rng = self._next_rng()
-        obs0 = self.engine.reset_all_envs()
+        self.engine.reset_all_envs()  # builds the initial state
 
         actor_params = {}
         critic_params = {}
