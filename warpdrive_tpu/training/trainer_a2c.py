@@ -53,6 +53,10 @@ class TrainerA2C(TrainerBase):
         # PPO with fixed behavior-policy log-probs (beyond reference parity,
         # whose PPO is single-epoch, ppo.py:129-136)
         self.ppo_num_epochs = {}
+        # minibatches per epoch, sliced on the ENV axis so the per-env
+        # return recursion stays exact (standard PPO minibatching; beyond
+        # reference parity)
+        self.ppo_num_minibatches = {}
 
         init_rng = self._next_rng()
         self.engine.reset_all_envs()  # builds the initial state
@@ -106,6 +110,12 @@ class TrainerA2C(TrainerBase):
                 )
 
             self.ppo_num_epochs[tag] = int(policy_cfg.get("num_epochs", 1))
+            self.ppo_num_minibatches[tag] = int(
+                policy_cfg.get("num_minibatches", 1)
+            )
+            assert self.num_envs % self.ppo_num_minibatches[tag] == 0, (
+                "num_minibatches must divide num_envs (env-axis slicing)"
+            )
             self.lr_schedules[tag] = ParamScheduler(policy_cfg.get("lr", 1e-3))
             chain = []
             if policy_cfg.get("clip_grad_norm", True):
@@ -325,10 +335,11 @@ class TrainerA2C(TrainerBase):
                     )
 
                 num_epochs = self.ppo_num_epochs.get(tag, 1)
+                num_mb = self.ppo_num_minibatches.get(tag, 1)
                 lr_t = self.lr_schedules[tag].value_at(timestep)
                 p_cur = params_all[tag]
                 opt_cur = opt_all[tag]
-                if num_epochs > 1:
+                if num_epochs > 1 or num_mb > 1:
                     # multi-epoch PPO (beyond reference parity): fix the
                     # behavior-policy log-probs before the first update so
                     # the clipped ratio is meaningful across epochs
@@ -344,17 +355,61 @@ class TrainerA2C(TrainerBase):
                 else:
                     old_lp = None
 
-                for _epoch in range(num_epochs):
-                    grads, metrics = jax.grad(loss_fn, has_aux=True)(
-                        p_cur, old_lp
-                    )
+                def apply_grads(p_cur, opt_cur, grads):
                     updates, opt_cur = self.optimizers[tag].update(
                         grads, opt_cur, p_cur
                     )
                     updates = jax.tree_util.tree_map(
                         lambda u: u * lr_t, updates
                     )
-                    p_cur = optax.apply_updates(p_cur, updates)
+                    return optax.apply_updates(p_cur, updates), opt_cur
+
+                E = rew_b.shape[1]
+                mb_size = E // num_mb
+                for epoch in range(num_epochs):
+                    if num_mb == 1:
+                        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+                            p_cur, old_lp
+                        )
+                        p_cur, opt_cur = apply_grads(p_cur, opt_cur, grads)
+                        continue
+                    # env-axis minibatches: per-env returns are computed
+                    # inside the loss on each slice and are EXACT (the
+                    # time recursion never crosses envs); samples reshuffle
+                    # every epoch
+                    dk_e = jax.random.fold_in(dk, epoch)
+                    perm = jax.random.permutation(dk_e, E)
+                    for m in range(num_mb):
+                        idx = jax.lax.dynamic_slice_in_dim(
+                            perm, m * mb_size, mb_size
+                        )
+
+                        def mb_loss(p, old_lp_full, idx=idx, tag=tag,
+                                    algo=algo, mask_b=mask_b):
+                            take = lambda x: (
+                                None if x is None
+                                else jnp.take(x, idx, axis=1)
+                            )
+                            logits_list, values = self._policy_forward(
+                                tag, p, take(obs_b),
+                                action_mask=take(mask_b),
+                            )
+                            return algo.compute_loss_and_metrics(
+                                timestep,
+                                take(act_b),
+                                take(rew_b),
+                                take(done_b),
+                                logits_list,
+                                values,
+                                negative_positive_ratio=self.neg_pos_env_ratio,
+                                downsample_key=dk_e,
+                                old_log_prob=take(old_lp_full),
+                            )
+
+                        grads, metrics = jax.grad(mb_loss, has_aux=True)(
+                            p_cur, old_lp
+                        )
+                        p_cur, opt_cur = apply_grads(p_cur, opt_cur, grads)
                 new_params[tag] = p_cur
                 new_opt[tag] = opt_cur
                 metrics["Current timestep"] = timestep
