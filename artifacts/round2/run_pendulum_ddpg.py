@@ -1,0 +1,24 @@
+"""Pendulum DDPG with the honest evaluator (CPU, reduced envs).
+Run: python artifacts/round2/run_pendulum_ddpg.py"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from warpdrive_tpu.training.scripts.train import setup_trainer_and_train
+from warpdrive_tpu.utils.config import load_run_config
+
+cfg = load_run_config("single_pendulum")
+# keep T = train_batch_size/num_envs SMALL (5, like the stock 50000/10000):
+# DDPG does one update per iteration on the sliding window, so the update
+# COUNT is num_iters = num_episodes*episode_length/train_batch_size
+cfg["trainer"].update({"num_envs": 1000, "train_batch_size": 5000,
+                       "num_episodes": 100_000,   # -> 10000 updates
+                       "seed": 41, "evaluator": True})
+cfg["saving"].update({"metrics_log_freq": 500, "model_params_save_freq": 10_000})
+
+trainer = setup_trainer_and_train(
+    cfg, results_dir="artifacts/round2/pendulum_ddpg_cpu", verbose=True
+)
+rew, steps = trainer.evaluate_episodes()
+print("FINAL EVAL mean episodic reward:", float(rew["shared"].mean()), flush=True)

@@ -104,6 +104,37 @@ def stage_B(ne=2000):
         emit(stage="B_full_loop", error=f"{type(e).__name__}: {e}")
 
 
+def stage_F(ne=2000):
+    """env-only rate with the single-pass top_k kNN observation (verified
+    numerically identical to the k-round argmin algorithm)."""
+    try:
+        from warpdrive_tpu.envs.engine import EnvEngine
+        from warpdrive_tpu.envs.tag_continuous import TpuTagContinuous
+
+        env = TpuTagContinuous(knn_algorithm="topk", **FLAGSHIP_ENV_KWARGS)
+        engine = EnvEngine(env_obj=env, num_envs=ne, seed=0)
+        n_agents = engine.n_agents
+        state = {
+            k: v
+            for k, v in engine.state.items()
+            if k not in ("observations", "sampled_actions")
+        }
+
+        def env_only(carry, key):
+            st, chk = carry
+            k_a, k_r = jax.random.split(key)
+            a = random_actions(k_a, ne, n_agents, [10, 10])
+            chk = chk + engine.observe(st).sum()
+            st = engine.step_physics(st, a)
+            return engine.auto_reset(st, k_r), chk
+
+        rate = time_scan(env_only, (state, jnp.zeros(())), 500, ne)
+        emit(stage="F_env_only_topk_obs", num_envs=ne,
+             env_steps_per_s=round(rate))
+    except Exception as e:
+        emit(stage="F_env_only_topk_obs", error=f"{type(e).__name__}: {e}")
+
+
 def stage_E(ne=2000):
     try:
         from warpdrive_tpu.models.fully_connected import FullyConnected
@@ -252,11 +283,13 @@ if __name__ == "__main__":
 
         time_scan = time_scan_smoke
         stage_B(ne=8)
+        stage_F(ne=8)
         stage_E(ne=8)
         stage_C_and_D(ne=8)
     else:
         stage_A()
         stage_B()
+        stage_F()
         stage_E()
         stage_C_and_D()
     emit(stage="done")

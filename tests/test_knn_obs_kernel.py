@@ -88,3 +88,52 @@ def test_kernel_matches_pure_jax_observe(num_agents, k):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6
     )
+
+
+def test_topk_knn_algorithm_matches_passes():
+    """The single-pass top_k kNN observation must equal the k-round argmin
+    algorithm exactly (stable lowest-index ties), and match the numpy
+    reference via the consistency checker."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from warpdrive_tpu.envs.engine import EnvEngine
+    from warpdrive_tpu.envs.tag_continuous import (
+        TagContinuous,
+        TpuTagContinuous,
+    )
+    from warpdrive_tpu.tools.consistency import EnvironmentCPUvsTPU
+
+    kwargs = dict(
+        num_taggers=3, num_runners=12, grid_length=8.0, episode_length=12,
+        use_full_observation=False, num_other_agents_observed=4, seed=5,
+        runner_exits_game_after_tagged=True, tagging_distance=0.15,
+    )
+    eng_a = EnvEngine(env_obj=TpuTagContinuous(**kwargs), num_envs=4, seed=2)
+    eng_b = EnvEngine(
+        env_obj=TpuTagContinuous(knn_algorithm="topk", **kwargs),
+        num_envs=4, seed=2,
+    )
+    state = dict(eng_a.state)
+    # randomize positions so ties/ordering are stressed
+    key = jax.random.PRNGKey(0)
+    state["loc_x"] = jax.random.uniform(key, state["loc_x"].shape) * 8.0
+    state["loc_y"] = jax.random.uniform(
+        jax.random.PRNGKey(1), state["loc_y"].shape
+    ) * 8.0
+    obs_a = np.asarray(eng_a.observe(state))
+    obs_b = np.asarray(eng_b.observe(state))
+    np.testing.assert_allclose(obs_a, obs_b, rtol=1e-6, atol=1e-6)
+
+    # full lockstep consistency of the topk variant vs the numpy reference
+    EnvironmentCPUvsTPU(
+        cpu_env_class=TagContinuous,
+        tpu_env_class=lambda **kw: TpuTagContinuous(
+            knn_algorithm="topk", **kw
+        ),
+        env_configs={"base": kwargs},
+        num_envs=3,
+        num_episodes=2,
+    ).test_env_reset_and_step(threshold_pct=0.1, seed=9)
