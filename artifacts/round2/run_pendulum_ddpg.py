@@ -15,6 +15,13 @@ cfg = load_run_config("single_pendulum")
 cfg["trainer"].update({"num_envs": 1000, "train_batch_size": 5000,
                        "num_episodes": 100_000,   # -> 10000 updates
                        "seed": 41, "evaluator": True})
+# documented tuning for the CPU-scale artifact: the stock critic lr (1e-4)
+# leaves the critic far from its n-step targets at this update budget;
+# 1e-3 + OU noise decay converges (stock yaml values are kept on TPU scale)
+cfg["policy"]["shared"]["lr"] = {"actor": 0.001, "critic": 0.001}
+cfg["policy"]["shared"]["tau"] = 0.01
+cfg["sampler"] = {"params": {"damping": 0.15, "scale": 1.0,
+                             "stddev": [[0, 0.3], [30_000_000, 0.05]]}}
 cfg["saving"].update({"metrics_log_freq": 500, "model_params_save_freq": 10_000})
 
 trainer = setup_trainer_and_train(

@@ -78,15 +78,23 @@ except Exception as e:  # noqa: BLE001 — any failure means "does not fit"
 """
 
 
-def _probe(run_config: dict, env_setup, timeout_s: int = 900) -> bool:
-    """Run one trial configuration in a fresh subprocess; True if it fits."""
+def _probe(run_config: dict, env_setup, timeout_s: int = None) -> bool:
+    """Run one trial configuration in a fresh subprocess; True if it fits.
+
+    On the TPU backend the timeout is generous (first compiles are slow,
+    and SIGKILLing a chip client mid-compile can wedge the single-tenant
+    claim — docs/performance.md); expiry is logged loudly.
+    """
     with tempfile.NamedTemporaryFile(
         "w", suffix=".json", delete=False
     ) as f:
         json.dump({"run_config": run_config, "env_setup": list(env_setup)}, f)
         path = f.name
     env = dict(os.environ)
-    if env.get("JAX_PLATFORMS", "") == "cpu":
+    on_cpu = env.get("JAX_PLATFORMS", "") == "cpu"
+    if timeout_s is None:
+        timeout_s = 900 if on_cpu else 3600
+    if on_cpu:
         # CPU probes (tests / machines without a chip) must not run the
         # TPU-plugin sitecustomize hook: its registration can block on the
         # device claim at interpreter start, before any user code runs
@@ -115,7 +123,13 @@ def _probe(run_config: dict, env_setup, timeout_s: int = 900) -> bool:
             )
         return ok
     except subprocess.TimeoutExpired:
-        logging.info("autoscaler probe timed out — treating as infeasible")
+        logging.warning(
+            "autoscaler probe timed out after %ss — treating as infeasible. "
+            "NOTE: if this probe was on the TPU backend, the killed client "
+            "may wedge the single-tenant chip claim for a while "
+            "(docs/performance.md).",
+            timeout_s,
+        )
         return False
     finally:
         os.unlink(path)
