@@ -104,6 +104,31 @@ def stage_B(ne=2000):
         emit(stage="B_full_loop", error=f"{type(e).__name__}: {e}")
 
 
+def stage_P(ne=2000):
+    """Capture a jax.profiler trace of the env-only scan for op-level
+    analysis (written under artifacts/round2/tpu_trace)."""
+    try:
+        s = build_flagship(num_envs=ne, seed=0)
+
+        def scan_fn(c, k):
+            keys = jax.random.split(k, 50)
+            return jax.lax.scan(
+                lambda st, kk: (s["env_only_step"](st, kk), 0), c, keys
+            )[0]
+
+        jitted = jax.jit(scan_fn)
+        carry = (s["state"], jnp.zeros(()))
+        carry = jitted(carry, jax.random.PRNGKey(3))
+        jax.block_until_ready(jax.tree_util.tree_leaves(carry)[0])
+        logdir = "/root/repo/artifacts/round2/tpu_trace"
+        with jax.profiler.trace(logdir):
+            carry = jitted(carry, jax.random.PRNGKey(4))
+            jax.block_until_ready(jax.tree_util.tree_leaves(carry)[0])
+        emit(stage="P_profile_trace", logdir=logdir)
+    except Exception as e:
+        emit(stage="P_profile_trace", error=f"{type(e).__name__}: {e}")
+
+
 def stage_F(ne=2000):
     """env-only rate with the single-pass top_k kNN observation (verified
     numerically identical to the k-round argmin algorithm)."""
@@ -283,12 +308,14 @@ if __name__ == "__main__":
 
         time_scan = time_scan_smoke
         stage_B(ne=8)
+        stage_P(ne=8)
         stage_F(ne=8)
         stage_E(ne=8)
         stage_C_and_D(ne=8)
     else:
         stage_A()
         stage_B()
+        stage_P()
         stage_F()
         stage_E()
         stage_C_and_D()
