@@ -104,6 +104,37 @@ def stage_B(ne=2000):
         emit(stage="B_full_loop", error=f"{type(e).__name__}: {e}")
 
 
+def stage_U(ne=2000):
+    """env-only rate with lax.scan unroll=4 (amortizes loop overhead; can
+    also blow up compile time — measure both)."""
+    try:
+        s = build_flagship(num_envs=ne, seed=0)
+
+        def scan_fn(c, k):
+            keys = jax.random.split(k, 500)
+            return jax.lax.scan(
+                lambda st, kk: (s["env_only_step"](st, kk), 0), c, keys,
+                unroll=4,
+            )[0]
+
+        jitted = jax.jit(scan_fn)
+        carry = (s["state"], jnp.zeros(()))
+        t0 = time.time()
+        carry = jitted(carry, jax.random.PRNGKey(5))
+        jax.block_until_ready(jax.tree_util.tree_leaves(carry)[0])
+        compile_s = time.time() - t0
+        best = 0.0
+        for i in range(3):
+            t0 = time.perf_counter()
+            carry = jitted(carry, jax.random.PRNGKey(6 + i))
+            jax.block_until_ready(jax.tree_util.tree_leaves(carry)[0])
+            best = max(best, 500 * ne / (time.perf_counter() - t0))
+        emit(stage="U_env_only_unroll4", num_envs=ne,
+             env_steps_per_s=round(best), compile_s=round(compile_s, 1))
+    except Exception as e:
+        emit(stage="U_env_only_unroll4", error=f"{type(e).__name__}: {e}")
+
+
 def stage_P(ne=2000):
     """Capture a jax.profiler trace of the env-only scan for op-level
     analysis (written under artifacts/round2/tpu_trace)."""
@@ -310,6 +341,7 @@ if __name__ == "__main__":
         stage_B(ne=8)
         stage_P(ne=8)
         stage_F(ne=8)
+        stage_U(ne=8)
         stage_E(ne=8)
         stage_C_and_D(ne=8)
     else:
@@ -317,6 +349,7 @@ if __name__ == "__main__":
         stage_B()
         stage_P()
         stage_F()
+        stage_U()
         stage_E()
         stage_C_and_D()
     emit(stage="done")
