@@ -137,3 +137,37 @@ def test_topk_knn_algorithm_matches_passes():
         num_envs=3,
         num_episodes=2,
     ).test_env_reset_and_step(threshold_pct=0.1, seed=9)
+
+
+def test_pallas_observe_batch_wiring():
+    """knn_algorithm='pallas' routes EnvEngine.observe through the fused
+    kernel (interpret mode on CPU) and matches the pure-JAX observation."""
+    import numpy as np
+
+    import jax
+
+    from warpdrive_tpu.envs.engine import EnvEngine
+    from warpdrive_tpu.envs.tag_continuous import TpuTagContinuous
+
+    kwargs = dict(
+        num_taggers=3, num_runners=12, grid_length=8.0, episode_length=12,
+        use_full_observation=False, num_other_agents_observed=4, seed=5,
+    )
+    eng_ref = EnvEngine(env_obj=TpuTagContinuous(**kwargs), num_envs=4, seed=2)
+    eng_pl = EnvEngine(
+        env_obj=TpuTagContinuous(knn_algorithm="pallas", **kwargs),
+        num_envs=4, seed=2,
+    )
+    assert eng_pl.env.observe_batch_fn is not None
+    state = dict(eng_ref.state)
+    state["loc_x"] = jax.random.uniform(
+        jax.random.PRNGKey(7), state["loc_x"].shape
+    ) * 8.0
+    state["loc_y"] = jax.random.uniform(
+        jax.random.PRNGKey(8), state["loc_y"].shape
+    ) * 8.0
+    np.testing.assert_allclose(
+        np.asarray(eng_pl.observe(state)),
+        np.asarray(eng_ref.observe(state)),
+        rtol=1e-5, atol=1e-5,
+    )

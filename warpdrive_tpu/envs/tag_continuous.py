@@ -91,8 +91,13 @@ class TagContinuous:
         #             the full distance matrix — ~3k full-matrix HBM passes;
         #   "topk":   one jax.lax.top_k over -dist2 yields all k neighbor
         #             indices in a single pass (stable lowest-index ties,
-        #             matching argmin), then k small one-hot contractions.
-        assert knn_algorithm in ("passes", "topk")
+        #             matching argmin), then k small one-hot contractions;
+        #   "pallas": the fused VMEM-resident kernel (ops/knn_obs.py) as a
+        #             batched observe (NOT composable into lax.scan bodies
+        #             if the Mosaic pallas-in-scan limitation still holds —
+        #             use for out-of-scan observation serving/benching, or
+        #             after the staged experiments confirm scan support).
+        assert knn_algorithm in ("passes", "topk", "pallas")
         self.knn_algorithm = knn_algorithm
         assert num_taggers > 0 and num_runners > 0 and episode_length > 0
         self.num_taggers = int(num_taggers)
@@ -402,6 +407,49 @@ class TpuTagContinuous(TagContinuous, TpuEnvironmentContext):
             log_data_across_episode=True,
         )
         return data
+
+    @property
+    def observe_batch_fn(self):
+        """Batched observation override consumed by ``EnvEngine.observe``:
+        the fused Pallas kNN kernel when ``knn_algorithm='pallas'``
+        (VMEM-resident k-selection, ``ops/knn_obs.py``), else None (the
+        engine vmaps ``observe_fn``).  Interpret mode keeps it runnable on
+        CPU CI."""
+        if self.knn_algorithm != "pallas" or self.use_full_observation:
+            return None
+        from warpdrive_tpu.ops.knn_obs import knn_observation
+
+        import jax as _jax
+
+        interpret = _jax.default_backend() != "tpu"
+        diag = self.grid_diagonal
+        max_speed = self.max_speed
+        k = self.num_other_agents_observed
+        types_f = jnp.asarray(self.agent_types, dtype=jnp.float32)
+        N = self.num_agents
+        T_len = self.episode_length
+        eps = _EPS
+
+        def observe_batch(state: dict) -> jnp.ndarray:
+            lx, ly = state["loc_x"], state["loc_y"]
+            feats = jnp.stack(
+                [
+                    lx / diag,
+                    ly / diag,
+                    state["speed"] / (max_speed + eps),
+                    state["acceleration"] / (max_speed + eps),
+                    state["direction"] / np.float32(2 * np.pi),
+                ],
+                axis=1,
+            )  # (E, 5, N)
+            still_f = state["still_in_the_game"].astype(jnp.float32)
+            t_norm = (state[Constants.TIMESTEP] / T_len).astype(jnp.float32)
+            return knn_observation(
+                lx, ly, feats, types_f, still_f, t_norm,
+                n_agents=N, k=k, interpret=interpret,
+            )
+
+        return observe_batch
 
     def step_fn(self, state: dict) -> dict:
         """Full step = observe ∘ physics (compat / consistency-check path)."""
