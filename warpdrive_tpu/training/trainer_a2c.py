@@ -214,6 +214,12 @@ class TrainerA2C(TrainerBase):
         (``TrainerBase.profile_phases``)."""
         engine = self.engine
         policies = list(self.policies)
+        # optional reduced-precision storage for the (T, E, A, F) obs batch
+        # (trainer.batch_dtype: "bfloat16") — halves the dominant training
+        # buffer's HBM footprint; the loss forward upcasts via the model
+        batch_dtype = jnp.dtype(
+            self.config["trainer"].get("batch_dtype", "float32")
+        )
 
         def rollout(params, rollout_carry, step_keys):
             def rollout_step(rs_carry, key_t):
@@ -235,7 +241,7 @@ class TrainerA2C(TrainerBase):
                     )
                     actions_p = self._sample_policy_actions(tag, sk, logits_list)
                     per_policy_actions[tag] = actions_p
-                    rec[f"obs_{tag}"] = obs_p
+                    rec[f"obs_{tag}"] = obs_p.astype(batch_dtype)
                     rec[f"actions_{tag}"] = actions_p
                     if mask_p is not None:
                         rec[f"mask_{tag}"] = mask_p
