@@ -153,16 +153,86 @@ def main():
         flush=True,
     )
     print("[bench] compiling + timing full loop...", file=sys.stderr, flush=True)
-    full_rate = rollout_rate(
-        sys_["full_loop_step"], sys_["state"], n_steps, num_envs, key,
-        params=sys_["params"],
-    )
-    print(
-        f"[bench] full loop (policy+sample+step+reset): "
-        f"{full_rate:,.0f} env-steps/s",
-        file=sys.stderr,
-        flush=True,
-    )
+    try:
+        full_rate = rollout_rate(
+            sys_["full_loop_step"], sys_["state"], n_steps, num_envs, key,
+            params=sys_["params"],
+        )
+        print(
+            f"[bench] full loop (policy+sample+step+reset): "
+            f"{full_rate:,.0f} env-steps/s",
+            file=sys.stderr,
+            flush=True,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "tag_continuous_full_loop_env_steps_per_sec",
+                    "value": round(full_rate),
+                    "unit": "env_steps/s",
+                    "vs_baseline": round(
+                        full_rate / BASELINE_ENV_STEPS_PER_S, 4
+                    ),
+                    "platform": platform,
+                }
+            ),
+            flush=True,
+        )
+    except Exception as exc:
+        print(f"[bench] full-loop stage failed: {exc}", file=sys.stderr, flush=True)
+
+    # training throughput: one fused A2C iteration (rollout scan + loss +
+    # update) on TagGridWorld at benchmark scale — the reference's
+    # "training" perf-stat dimension (trainer_base.py:863-879)
+    try:
+        print("[bench] compiling + timing training iteration...", file=sys.stderr, flush=True)
+        import numpy as _np
+
+        from warpdrive_tpu.envs.engine import EnvEngine
+        from warpdrive_tpu.envs.tag_gridworld import TpuTagGridWorld
+        from warpdrive_tpu.training.trainer_a2c import TrainerA2C
+
+        t_envs = 2000 if on_tpu else 16
+        T_train = 100 if on_tpu else 10
+        env = TpuTagGridWorld(
+            num_taggers=4, grid_length=20, episode_length=100, seed=7,
+            use_full_observation=False,
+        )
+        engine = EnvEngine(env_obj=env, num_envs=t_envs, seed=7)
+        cfg = {
+            "name": "bench_train",
+            "env": {},
+            "trainer": {
+                "num_envs": t_envs,
+                "num_episodes": 4 * T_train * t_envs // 100,
+                "train_batch_size": T_train * t_envs,
+                "seed": 1,
+            },
+            "policy": {"shared": {"to_train": True, "gamma": 0.98,
+                                  "lr": 0.001,
+                                  "model": {"type": "fully_connected",
+                                            "fc_dims": [64, 64]}}},
+            "saving": {"metrics_log_freq": 10**9,
+                       "model_params_save_freq": 10**9,
+                       "basedir": "/tmp", "name": "bench", "tag": "t"},
+        }
+        trainer = TrainerA2C(env_wrapper=engine, config=cfg, verbose=False)
+        prof = trainer.profile_phases(repeats=3)
+        print(
+            json.dumps(
+                {
+                    "metric": "tag_gridworld_training_env_steps_per_sec",
+                    "value": round(prof["steps_per_sec"]),
+                    "unit": "env_steps/s",
+                    "rollout_ms": round(prof["rollout_ms"], 2),
+                    "update_ms": round(prof["update_ms"], 2),
+                    "platform": platform,
+                }
+            ),
+            flush=True,
+        )
+    except Exception as exc:
+        print(f"[bench] training stage failed: {exc}", file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":
