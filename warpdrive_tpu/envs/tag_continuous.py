@@ -125,6 +125,12 @@ class TagContinuous:
         )
         self.is_tagger = self.agent_types == 1
         self.is_runner = ~self.is_tagger
+        # reference-API aliases (tag_continuous.py:163-171): dicts keyed by
+        # agent id so ``list(env.taggers)`` yields the tagger ids for a
+        # policy_tag_to_agent_id_map; these are the at-reset memberships
+        # (the device-side state tracks in-game runners dynamically)
+        self.taggers = {int(a): True for a in np.where(self.is_tagger)[0]}
+        self.runners = {int(a): True for a in np.where(self.is_runner)[0]}
 
         if starting_location_x is None:
             assert starting_location_y is None
