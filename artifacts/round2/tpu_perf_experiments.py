@@ -191,6 +191,77 @@ def stage_F(ne=2000):
         emit(stage="F_env_only_topk_obs", error=f"{type(e).__name__}: {e}")
 
 
+def stage_G(ne=2000):
+    """env-only rate with a bfloat16 distance matrix feeding the top_k
+    selection (halves the dominant HBM term of the roofline; features are
+    still computed in f32 from the exact state). Selection can differ from
+    f32 near ties — this is an experiment variant, not the default."""
+    try:
+        from warpdrive_tpu.envs.engine import EnvEngine
+        from warpdrive_tpu.envs.tag_continuous import TpuTagContinuous
+
+        env = TpuTagContinuous(knn_algorithm="topk", **FLAGSHIP_ENV_KWARGS)
+        engine = EnvEngine(env_obj=env, num_envs=ne, seed=0)
+        n_agents = engine.n_agents
+        k = env.num_other_agents_observed
+        _BIG = jnp.float32(1e10)
+
+        def observe_bf16(state):
+            def one_env(st):
+                lx, ly = st["loc_x"], st["loc_y"]
+                alive = st["still_in_the_game"] > 0
+                dx = (lx[:, None] - lx[None, :]).astype(jnp.bfloat16)
+                dy = (ly[:, None] - ly[None, :]).astype(jnp.bfloat16)
+                d2 = dx * dx + dy * dy
+                d2 = jnp.where(
+                    jnp.eye(n_agents, dtype=bool) | (~alive)[None, :],
+                    jnp.bfloat16(_BIG), d2,
+                )
+                _, nbr_idx = jax.lax.top_k(-d2.astype(jnp.float32), k)
+                return nbr_idx.sum()  # keep selection live
+
+            return jax.vmap(one_env)(state)
+
+        def env_only(carry, key):
+            st, chk = carry
+            k_a, k_r = jax.random.split(key)
+            a = random_actions(k_a, ne, n_agents, [10, 10])
+            chk = chk + observe_bf16(st).sum()
+            st = engine.step_physics(st, a)
+            return engine.auto_reset(st, k_r), chk
+
+        state = {
+            kk: v
+            for kk, v in engine.state.items()
+            if kk not in ("observations", "sampled_actions")
+        }
+        rate = time_scan(env_only, (state, jnp.int32(0)), 500, ne)
+        emit(stage="G_env_only_bf16_dist_select", num_envs=ne,
+             env_steps_per_s=round(rate))
+    except Exception as e:
+        emit(stage="G_env_only_bf16_dist_select",
+             error=f"{type(e).__name__}: {e}")
+
+
+def stage_H(ne=2000):
+    """FULL loop (policy+sample+step+reset) with the single-pass top_k
+    observation — the best-known pure-XLA headline candidate."""
+    try:
+        from warpdrive_tpu.presets import build_flagship
+
+        s = build_flagship(num_envs=ne, seed=0, knn_algorithm="topk")
+        params = s["params"]
+
+        def full(state, key):
+            return s["full_loop_step"](params, state, key)
+
+        rate = time_scan(full, s["state"], 500, ne)
+        emit(stage="H_full_loop_topk_obs", num_envs=ne,
+             env_steps_per_s=round(rate))
+    except Exception as e:
+        emit(stage="H_full_loop_topk_obs", error=f"{type(e).__name__}: {e}")
+
+
 def stage_E(ne=2000):
     try:
         from warpdrive_tpu.models.fully_connected import FullyConnected
@@ -341,6 +412,8 @@ if __name__ == "__main__":
         stage_B(ne=8)
         stage_P(ne=8)
         stage_F(ne=8)
+        stage_H(ne=8)
+        stage_G(ne=8)
         stage_U(ne=8)
         stage_E(ne=8)
         stage_C_and_D(ne=8)
@@ -349,6 +422,8 @@ if __name__ == "__main__":
         stage_B()
         stage_P()
         stage_F()
+        stage_H()
+        stage_G()
         stage_U()
         stage_E()
         stage_C_and_D()

@@ -54,7 +54,8 @@ FLAGSHIP_ENV_KWARGS = dict(
 )
 
 
-def build_flagship(num_envs: int = 64, fc_dims=(256, 256), seed: int = 0):
+def build_flagship(num_envs: int = 64, fc_dims=(256, 256), seed: int = 0,
+                   knn_algorithm: str | None = None):
     """
     Build the flagship TagContinuous system.
 
@@ -67,7 +68,10 @@ def build_flagship(num_envs: int = 64, fc_dims=(256, 256), seed: int = 0):
     from warpdrive_tpu.envs.tag_continuous import TpuTagContinuous as TagContinuous
 
     register_all_envs()
-    env = TagContinuous(**FLAGSHIP_ENV_KWARGS)
+    kwargs = dict(FLAGSHIP_ENV_KWARGS)
+    if knn_algorithm is not None:
+        kwargs["knn_algorithm"] = knn_algorithm
+    env = TagContinuous(**kwargs)
     engine = EnvEngine(env_obj=env, num_envs=num_envs, seed=seed)
 
     policy_ids = {
