@@ -1,0 +1,164 @@
+"""Native (C++) CPU backend equivalence: the batched stepper must agree
+with the per-env python loop (the numpy reference envs) in lockstep across
+multiple episodes, including done-driven resets.
+
+TagGridWorld is integer dynamics + analyzed float32 reward algebra ->
+bit-exact. CartPole's sin/cos may differ from numpy's float32 loops by
+~1 ulp -> float-precision tolerance on the trajectory."""
+
+import numpy as np
+import pytest
+
+from warpdrive_tpu.envs.classic_control.cartpole import (
+    ClassicControlCartPoleEnv,
+)
+from warpdrive_tpu.envs.cpu_engine import CpuEnvEngine
+from warpdrive_tpu.envs.tag_gridworld import TagGridWorld
+from warpdrive_tpu.utils.constants import Constants
+
+_OBS = Constants.OBSERVATIONS
+_REWARDS = Constants.REWARDS
+_DONE = Constants.DONE
+
+
+def _native_or_skip(**kw):
+    from warpdrive_tpu.native import NativeBuildError
+
+    try:
+        return CpuEnvEngine(native=True, **kw)
+    except NativeBuildError as exc:  # no toolchain in this container
+        pytest.skip(f"native toolchain unavailable: {exc}")
+
+
+def _lockstep(make_cfg, n_steps, rng, obs_exact=True):
+    eng_py = CpuEnvEngine(native=False, **make_cfg())
+    eng_cc = _native_or_skip(**make_cfg())
+    assert eng_cc._native is not None
+
+    obs_a = eng_py.reset_all_envs()
+    obs_b = eng_cc.reset_all_envs()
+    np.testing.assert_array_equal(obs_a, obs_b)
+
+    E, N = eng_py.n_envs, eng_py.n_agents
+    C = eng_py.num_action_types
+    n_acts = eng_py.action_space[0].n
+    resets_seen = 0
+    for t in range(n_steps):
+        actions = rng.integers(0, n_acts, size=(E, N, C)).astype(np.int32)
+        out_a = eng_py.step_all_envs(actions)
+        out_b = eng_cc.step_all_envs(actions)
+        if obs_exact:
+            np.testing.assert_array_equal(
+                out_a[_OBS], out_b[_OBS], err_msg=f"obs diverged at t={t}"
+            )
+            np.testing.assert_array_equal(out_a[_REWARDS], out_b[_REWARDS])
+        else:
+            np.testing.assert_allclose(
+                out_a[_OBS], out_b[_OBS], rtol=2e-4, atol=1e-6,
+                err_msg=f"obs diverged at t={t}",
+            )
+            np.testing.assert_allclose(
+                out_a[_REWARDS], out_b[_REWARDS], rtol=1e-6
+            )
+        np.testing.assert_array_equal(
+            out_a[_DONE], out_b[_DONE], err_msg=f"done diverged at t={t}"
+        )
+        resets_seen += int(out_a[_DONE].sum())
+        eng_py.reset_only_done_envs()
+        eng_cc.reset_only_done_envs()
+        np.testing.assert_array_equal(
+            eng_py.state[_DONE], eng_cc.state[_DONE]
+        )
+        if obs_exact:
+            np.testing.assert_array_equal(
+                eng_py.state[_OBS], eng_cc.state[_OBS]
+            )
+    assert resets_seen > 0, "test never crossed an episode boundary"
+
+
+def test_tag_gridworld_native_bit_exact():
+    rng = np.random.default_rng(0)
+    _lockstep(
+        lambda: dict(
+            env_obj=TagGridWorld(
+                num_taggers=4, grid_length=6, episode_length=40, seed=11
+            ),
+            num_envs=8,
+        ),
+        n_steps=100,
+        rng=rng,
+        obs_exact=True,
+    )
+
+
+def test_tag_gridworld_native_partial_obs_bit_exact():
+    rng = np.random.default_rng(1)
+    _lockstep(
+        lambda: dict(
+            env_obj=TagGridWorld(
+                num_taggers=3, grid_length=5, episode_length=30, seed=5,
+                use_full_observation=False,
+            ),
+            num_envs=6,
+        ),
+        n_steps=80,
+        rng=rng,
+        obs_exact=True,
+    )
+
+
+def test_cartpole_native_trajectory():
+    rng = np.random.default_rng(2)
+    _lockstep(
+        lambda: dict(
+            env_obj=ClassicControlCartPoleEnv(episode_length=60, seed=3),
+            num_envs=8,
+        ),
+        n_steps=150,
+        rng=rng,
+        obs_exact=False,
+    )
+
+
+def test_native_snapshot_restore_isolation():
+    eng = _native_or_skip(
+        env_obj=TagGridWorld(
+            num_taggers=4, grid_length=6, episode_length=40, seed=11
+        ),
+        num_envs=4,
+    )
+    eng.reset_all_envs()
+    rng = np.random.default_rng(3)
+    E, N, C = eng.n_envs, eng.n_agents, eng.num_action_types
+    for _ in range(5):
+        eng.step_all_envs(rng.integers(0, 5, size=(E, N, C)).astype(np.int32))
+        eng.reset_only_done_envs()
+    snap = eng.snapshot_runtime_state()
+    obs_before = eng.state[_OBS].copy()
+    for _ in range(7):
+        eng.step_all_envs(rng.integers(0, 5, size=(E, N, C)).astype(np.int32))
+        eng.reset_only_done_envs()
+    eng.restore_runtime_state(snap)
+    np.testing.assert_array_equal(eng.state[_OBS], obs_before)
+    # stepping after restore matches a fresh continuation
+    acts = rng.integers(0, 5, size=(E, N, C)).astype(np.int32)
+    out = eng.step_all_envs(acts)
+    assert out[_OBS].shape == obs_before.shape
+
+
+def test_native_auto_fallback_for_unsupported_env():
+    """Envs without a native stepper silently use the python loop under
+    native='auto' (the default)."""
+    from warpdrive_tpu.envs.classic_control.pendulum import (
+        ClassicControlPendulumEnv,
+    )
+
+    eng = CpuEnvEngine(
+        env_obj=ClassicControlPendulumEnv(episode_length=20, seed=0),
+        num_envs=2,
+    )
+    assert eng._native is None
+    eng.reset_all_envs()
+    acts = np.zeros((2, 1, 1), np.float32)
+    out = eng.step_all_envs(acts)
+    assert out[_OBS].shape[0] == 2

@@ -15,6 +15,11 @@ reference's own hot-loop structure) while the model forward/sampling and
 the whole loss/optimizer update remain jitted.  For running JAX envs on CPU
 hosts, use the normal :class:`EnvEngine` under ``JAX_PLATFORMS=cpu`` — the
 eager backend exists for debugging numpy references at the trainer level.
+
+Env families with a native C++ batched stepper (``warpdrive_tpu.native``)
+step the whole fleet in one C call instead of the per-env python loop
+(``native="auto"``, the default, uses it when available; equivalence with
+the python loop is asserted by ``tests/test_native_backend.py``).
 """
 
 from __future__ import annotations
@@ -52,16 +57,27 @@ class CpuEnvEngine:
         num_envs: int = 2,
         env_registrar=None,
         seed: int = 0,
+        native: bool | str = "auto",
     ):
+        """``native``: use the C++ batched stepper (``warpdrive_tpu.native``)
+        when one exists for this env family — one C call per fleet-step
+        instead of a per-env python loop. ``"auto"`` (default) uses it when
+        available and silently falls back; ``True`` requires it; ``False``
+        forces the python loop."""
         registrar = env_registrar or default_registrar
         if env_obj is None:
             assert env_name is not None, "pass env_obj or env_name"
             env_cls = registrar.get(env_name, backend="cpu")
             self._make_env = lambda: env_cls(**(env_config or {}))
-        else:
+        elif env_config is not None:
             env_cls = type(env_obj)
-            cfg = env_config or {}
-            self._make_env = lambda: env_cls(**cfg)
+            self._make_env = lambda: env_cls(**env_config)
+        else:
+            # no config to rebuild from: replicate the CONSTRUCTED object
+            # (a fresh `type(env_obj)()` would silently drop its ctor args)
+            import copy as _copy
+
+            self._make_env = lambda: _copy.deepcopy(env_obj)
         self.envs = [self._make_env() for _ in range(num_envs)]
         self.env = self.envs[0]
         self.n_envs = int(num_envs)
@@ -99,6 +115,24 @@ class CpuEnvEngine:
         self.num_action_types = spec[0]
         self._group = {"mode": "box", "keys": [], "action": spec}
 
+        # native (C++) batched fast path: the adapter owns stacked state
+        # arrays; python env objects remain the source of reset() semantics
+        self._native = None
+        if native:
+            from warpdrive_tpu import native as native_mod
+
+            adapter_cls = native_mod.adapter_for(self.env)
+            if adapter_cls is not None:
+                try:
+                    self._native = adapter_cls(self.envs)
+                except native_mod.NativeBuildError:
+                    if native is True:
+                        raise
+            elif native is True:
+                raise ValueError(
+                    f"no native stepper for {type(self.env).__name__}"
+                )
+
         self.state = {}
         self._set_state_from(obs0, rewards=None)
 
@@ -134,6 +168,15 @@ class CpuEnvEngine:
     def reset_all_envs(self) -> np.ndarray:
         self._done[:] = 0
         self._timestep[:] = 0
+        if self._native is not None:
+            obs = self._native.reset_all(self.envs)
+            self.state = {
+                _OBS: np.asarray(obs, np.float32),
+                _REWARDS: np.zeros((self.n_envs, self.n_agents), np.float32),
+                _DONE: self._done.copy(),
+                _TIMESTEP: self._timestep.copy(),
+            }
+            return self.state[_OBS]
         obs = [env.reset() for env in self.envs]
         self._set_state_from(obs, rewards=None)
         return self.state[_OBS]
@@ -145,6 +188,21 @@ class CpuEnvEngine:
         actions = np.asarray(actions)
         if actions.ndim == 2:
             actions = actions[..., None]
+        if self._native is not None:
+            obs, rew, dones = self._native.step(actions)
+            self._done[:] = dones
+            self._timestep += 1
+            self.state = {
+                _OBS: np.asarray(obs, np.float32),
+                _REWARDS: np.asarray(rew, np.float32),
+                _DONE: self._done.copy(),
+                _TIMESTEP: self._timestep.copy(),
+            }
+            return {
+                _OBS: self.state[_OBS],
+                _REWARDS: self.state[_REWARDS],
+                _DONE: self.state[_DONE],
+            }
         obs_l, rew_l = [], []
         for e, env in enumerate(self.envs):
             act_dict = {}
@@ -184,6 +242,9 @@ class CpuEnvEngine:
             "done": self._done.copy(),
             "timestep": self._timestep.copy(),
             "state": {k: np.asarray(v).copy() for k, v in self.state.items()},
+            "native": (
+                self._native.snapshot() if self._native is not None else None
+            ),
         }
 
     def restore_runtime_state(self, snap):
@@ -192,8 +253,21 @@ class CpuEnvEngine:
         self._done = snap["done"].copy()
         self._timestep = snap["timestep"].copy()
         self.state = {k: v.copy() for k, v in snap["state"].items()}
+        if self._native is not None and snap.get("native") is not None:
+            self._native.restore(snap["native"])
+            self._native.env = self.env
 
     def reset_only_done_envs(self):
+        if self._native is not None:
+            idx = np.nonzero(self._done)[0]
+            if len(idx):
+                self._native.reset_rows(idx, self.envs)
+                self._done[idx] = 0
+                self._timestep[idx] = 0
+                self.state[_OBS] = self._native.observe().astype(np.float32)
+                self.state[_DONE] = self._done.copy()
+                self.state[_TIMESTEP] = self._timestep.copy()
+            return
         obs_now = self.state[_OBS].copy()
         for e, env in enumerate(self.envs):
             if self._done[e]:
