@@ -31,6 +31,8 @@ def _native_or_skip(**kw):
 
 
 def _lockstep(make_cfg, n_steps, rng, obs_exact=True):
+    from warpdrive_tpu.utils.spaces import Discrete
+
     eng_py = CpuEnvEngine(native=False, **make_cfg())
     eng_cc = _native_or_skip(**make_cfg())
     assert eng_cc._native is not None
@@ -41,10 +43,20 @@ def _lockstep(make_cfg, n_steps, rng, obs_exact=True):
 
     E, N = eng_py.n_envs, eng_py.n_agents
     C = eng_py.num_action_types
-    n_acts = eng_py.action_space[0].n
+    space = eng_py.action_space[eng_py._agent_ids[0]]
+    if isinstance(space, Discrete):
+        def draw():
+            return rng.integers(0, space.n, size=(E, N, C)).astype(np.int32)
+    else:
+        lo = float(np.asarray(space.low).reshape(-1)[0])
+        hi = float(np.asarray(space.high).reshape(-1)[0])
+        def draw():
+            return rng.uniform(lo * 1.2, hi * 1.2, size=(E, N, C)).astype(
+                np.float32
+            )  # deliberately exceeds bounds to exercise action clipping
     resets_seen = 0
     for t in range(n_steps):
-        actions = rng.integers(0, n_acts, size=(E, N, C)).astype(np.int32)
+        actions = draw()
         out_a = eng_py.step_all_envs(actions)
         out_b = eng_cc.step_all_envs(actions)
         if obs_exact:
@@ -54,11 +66,11 @@ def _lockstep(make_cfg, n_steps, rng, obs_exact=True):
             np.testing.assert_array_equal(out_a[_REWARDS], out_b[_REWARDS])
         else:
             np.testing.assert_allclose(
-                out_a[_OBS], out_b[_OBS], rtol=2e-4, atol=1e-6,
+                out_a[_OBS], out_b[_OBS], rtol=2e-4, atol=1e-5,
                 err_msg=f"obs diverged at t={t}",
             )
             np.testing.assert_allclose(
-                out_a[_REWARDS], out_b[_REWARDS], rtol=1e-6
+                out_a[_REWARDS], out_b[_REWARDS], rtol=2e-4, atol=1e-5
             )
         np.testing.assert_array_equal(
             out_a[_DONE], out_b[_DONE], err_msg=f"done diverged at t={t}"
@@ -120,6 +132,78 @@ def test_cartpole_native_trajectory():
     )
 
 
+def test_pendulum_native_trajectory():
+    from warpdrive_tpu.envs.classic_control.pendulum import (
+        ClassicControlPendulumEnv,
+    )
+
+    rng = np.random.default_rng(4)
+    _lockstep(
+        lambda: dict(
+            env_obj=ClassicControlPendulumEnv(episode_length=50, seed=7),
+            num_envs=8,
+        ),
+        n_steps=120,
+        rng=rng,
+        obs_exact=False,
+    )
+
+
+def test_mountain_car_native_trajectory():
+    from warpdrive_tpu.envs.classic_control.mountain_car import (
+        ClassicControlMountainCarEnv,
+    )
+
+    rng = np.random.default_rng(5)
+    _lockstep(
+        lambda: dict(
+            env_obj=ClassicControlMountainCarEnv(episode_length=60, seed=9),
+            num_envs=8,
+        ),
+        n_steps=150,
+        rng=rng,
+        obs_exact=False,
+    )
+
+
+def test_continuous_mountain_car_native_trajectory():
+    from warpdrive_tpu.envs.classic_control.continuous_mountain_car import (
+        ClassicControlContinuousMountainCarEnv,
+    )
+
+    rng = np.random.default_rng(6)
+    _lockstep(
+        lambda: dict(
+            env_obj=ClassicControlContinuousMountainCarEnv(
+                episode_length=60, seed=13
+            ),
+            num_envs=8,
+        ),
+        n_steps=150,
+        rng=rng,
+        obs_exact=False,
+    )
+
+
+def test_acrobot_native_trajectory():
+    # chaotic two-link dynamics: keep episodes short so ulp-level sin/cos
+    # differences reset at episode boundaries before they can amplify
+    from warpdrive_tpu.envs.classic_control.acrobot import (
+        ClassicControlAcrobotEnv,
+    )
+
+    rng = np.random.default_rng(7)
+    _lockstep(
+        lambda: dict(
+            env_obj=ClassicControlAcrobotEnv(episode_length=40, seed=17),
+            num_envs=6,
+        ),
+        n_steps=100,
+        rng=rng,
+        obs_exact=False,
+    )
+
+
 def test_native_snapshot_restore_isolation():
     eng = _native_or_skip(
         env_obj=TagGridWorld(
@@ -149,16 +233,14 @@ def test_native_snapshot_restore_isolation():
 def test_native_auto_fallback_for_unsupported_env():
     """Envs without a native stepper silently use the python loop under
     native='auto' (the default)."""
-    from warpdrive_tpu.envs.classic_control.pendulum import (
-        ClassicControlPendulumEnv,
-    )
+    from warpdrive_tpu.envs.dummy_env import DummyEnv
 
     eng = CpuEnvEngine(
-        env_obj=ClassicControlPendulumEnv(episode_length=20, seed=0),
+        env_obj=DummyEnv(num_agents=3, episode_length=4, seed=0),
         num_envs=2,
     )
     assert eng._native is None
     eng.reset_all_envs()
-    acts = np.zeros((2, 1, 1), np.float32)
+    acts = np.zeros((2, 3, 1), np.int32)
     out = eng.step_all_envs(acts)
     assert out[_OBS].shape[0] == 2

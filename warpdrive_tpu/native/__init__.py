@@ -73,6 +73,22 @@ def _declare(lib):
         ctypes.c_int, f32p, i32p, i32p, f32p, i32p, ctypes.c_int,
     ]
     lib.wd_cartpole_step.restype = None
+    lib.wd_pendulum_step.argtypes = [
+        ctypes.c_int, f32p, f32p, i32p, f32p, i32p, ctypes.c_int, f32p,
+    ]
+    lib.wd_pendulum_step.restype = None
+    lib.wd_mountain_car_step.argtypes = [
+        ctypes.c_int, f32p, i32p, i32p, f32p, i32p, ctypes.c_int,
+    ]
+    lib.wd_mountain_car_step.restype = None
+    lib.wd_continuous_mountain_car_step.argtypes = [
+        ctypes.c_int, f32p, f32p, i32p, f32p, i32p, ctypes.c_int,
+    ]
+    lib.wd_continuous_mountain_car_step.restype = None
+    lib.wd_acrobot_step.argtypes = [
+        ctypes.c_int, f32p, i32p, i32p, f32p, i32p, ctypes.c_int, f32p,
+    ]
+    lib.wd_acrobot_step.restype = None
     lib.wd_tag_gridworld_step.argtypes = [
         ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p, i32p, i32p, i32p,
         f32p, i32p, ctypes.c_int, ctypes.c_double, ctypes.c_double,
@@ -123,15 +139,21 @@ class _AdapterBase:
             setattr(self, k, v.copy())
 
 
-class CartPoleAdapter(_AdapterBase):
-    env_class_names = ("ClassicControlCartPoleEnv",)
+class _StateVecAdapter(_AdapterBase):
+    """Shared machinery for the single-agent classic-control envs whose
+    whole state is a flat float32 vector (``env.state``).  Subclasses set
+    ``state_dim`` and implement ``_step_native``; ``observe`` defaults to
+    the raw state (obs == state envs)."""
+
+    state_dim: int
+    action_dtype = np.int32
 
     def __init__(self, envs):
         super().__init__(envs)
-        self.state = np.zeros((self.n_envs, 4), np.float32)
+        self.state = np.zeros((self.n_envs, self.state_dim), np.float32)
         # fixed seed + no pool -> reset() reseeds and redraws the SAME
-        # state every episode (cartpole.py:85-91); cache it so the frequent
-        # done-driven resets skip the python RandomState round-trip
+        # state every episode (classic_control/base.py); cache it so the
+        # frequent done-driven resets skip the python RandomState round-trip
         env = self.env
         self._fixed_reset = (
             env.reset_pool_size < 2 and env.seed is not None
@@ -143,7 +165,7 @@ class CartPoleAdapter(_AdapterBase):
         for e, env in enumerate(envs):
             env.reset()
             self.state[e] = env.state
-        return self.state[:, None, :].copy()  # (E, 1, 4)
+        return self.observe()
 
     def reset_rows(self, idx, envs):
         if self._fixed_reset:
@@ -162,20 +184,106 @@ class CartPoleAdapter(_AdapterBase):
         return self._cached_reset_state
 
     def observe(self):
-        return self.state[:, None, :].copy()  # (E, 1, 4)
+        return self.state[:, None, :].copy()  # (E, 1, state_dim)
+
+    def _actions_1d(self, actions):
+        return np.ascontiguousarray(
+            np.asarray(actions).reshape(self.n_envs, -1)[:, 0],
+            self.action_dtype,
+        )
 
     def step(self, actions):
-        actions = np.ascontiguousarray(
-            actions.reshape(self.n_envs, -1)[:, 0], np.int32
-        )
+        acts = self._actions_1d(actions)
         rewards = np.empty((self.n_envs,), np.float32)
         dones = np.empty((self.n_envs,), np.int32)
+        obs = self._step_native(acts, rewards, dones)
+        return obs, rewards[:, None], dones
+
+
+class CartPoleAdapter(_StateVecAdapter):
+    env_class_names = ("ClassicControlCartPoleEnv",)
+    state_dim = 4
+
+    def _step_native(self, acts, rewards, dones):
         self.lib.wd_cartpole_step(
-            self.n_envs, _f32p(self.state), _i32p(actions),
+            self.n_envs, _f32p(self.state), _i32p(acts),
             _i32p(self.timesteps), _f32p(rewards), _i32p(dones),
             int(self.env.episode_length),
         )
-        return self.state[:, None, :].copy(), rewards[:, None], dones
+        return self.state[:, None, :].copy()
+
+
+class PendulumAdapter(_StateVecAdapter):
+    env_class_names = ("ClassicControlPendulumEnv",)
+    state_dim = 2
+    action_dtype = np.float32
+
+    def observe(self):
+        th, thdot = self.state[:, 0], self.state[:, 1]
+        return np.stack(
+            [np.cos(th), np.sin(th), thdot], axis=-1
+        ).astype(np.float32)[:, None, :]
+
+    def _step_native(self, acts, rewards, dones):
+        obs = np.empty((self.n_envs, 3), np.float32)
+        self.lib.wd_pendulum_step(
+            self.n_envs, _f32p(self.state), _f32p(acts),
+            _i32p(self.timesteps), _f32p(rewards), _i32p(dones),
+            int(self.env.episode_length), _f32p(obs),
+        )
+        return obs[:, None, :]
+
+
+class MountainCarAdapter(_StateVecAdapter):
+    env_class_names = ("ClassicControlMountainCarEnv",)
+    state_dim = 2
+
+    def _step_native(self, acts, rewards, dones):
+        self.lib.wd_mountain_car_step(
+            self.n_envs, _f32p(self.state), _i32p(acts),
+            _i32p(self.timesteps), _f32p(rewards), _i32p(dones),
+            int(self.env.episode_length),
+        )
+        return self.state[:, None, :].copy()
+
+
+class ContinuousMountainCarAdapter(_StateVecAdapter):
+    env_class_names = ("ClassicControlContinuousMountainCarEnv",)
+    state_dim = 2
+    action_dtype = np.float32
+
+    def _step_native(self, acts, rewards, dones):
+        self.lib.wd_continuous_mountain_car_step(
+            self.n_envs, _f32p(self.state), _f32p(acts),
+            _i32p(self.timesteps), _f32p(rewards), _i32p(dones),
+            int(self.env.episode_length),
+        )
+        return self.state[:, None, :].copy()
+
+
+class AcrobotAdapter(_StateVecAdapter):
+    env_class_names = ("ClassicControlAcrobotEnv",)
+    state_dim = 4
+
+    def observe(self):
+        s = self.state
+        return np.stack(
+            [
+                np.cos(s[:, 0]), np.sin(s[:, 0]),
+                np.cos(s[:, 1]), np.sin(s[:, 1]),
+                s[:, 2], s[:, 3],
+            ],
+            axis=-1,
+        ).astype(np.float32)[:, None, :]
+
+    def _step_native(self, acts, rewards, dones):
+        obs = np.empty((self.n_envs, 6), np.float32)
+        self.lib.wd_acrobot_step(
+            self.n_envs, _f32p(self.state), _i32p(acts),
+            _i32p(self.timesteps), _f32p(rewards), _i32p(dones),
+            int(self.env.episode_length), _f32p(obs),
+        )
+        return obs[:, None, :]
 
 
 class TagGridWorldAdapter(_AdapterBase):
@@ -239,7 +347,14 @@ class TagGridWorldAdapter(_AdapterBase):
 
 
 _ADAPTERS = {}
-for _cls in (CartPoleAdapter, TagGridWorldAdapter):
+for _cls in (
+    CartPoleAdapter,
+    PendulumAdapter,
+    MountainCarAdapter,
+    ContinuousMountainCarAdapter,
+    AcrobotAdapter,
+    TagGridWorldAdapter,
+):
     for _name in _cls.env_class_names:
         _ADAPTERS[_name] = _cls
 

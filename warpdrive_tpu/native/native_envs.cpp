@@ -40,6 +40,23 @@ const float X_THRESHOLD = 2.4f;
 const int STEP_DX[5] = {0, 1, -1, 0, 0};
 const int STEP_DY[5] = {0, 0, 0, 1, -1};
 
+// numpy floored modulo on float32 (np.mod): result has the divisor's sign.
+inline float wrap_pi(float x) {
+  // ((x + pi) % (2 pi)) - pi with numpy semantics
+  const float two_pi = (float)(2.0 * M_PI);
+  float y = x + (float)M_PI;
+  float r = fmodf(y, two_pi);
+  if (r < 0.0f) r += two_pi;
+  return r - (float)M_PI;
+}
+
+inline float clipf(float x, float lo, float hi) {
+  return x < lo ? lo : (x > hi ? hi : x);
+}
+
+inline float cosf_np(float x) { return (float)cos((double)x); }
+inline float sinf_np(float x) { return (float)sin((double)x); }
+
 }  // namespace
 
 extern "C" {
@@ -80,6 +97,178 @@ void wd_cartpole_step(int n_envs, float* state, const int* actions,
                             (theta < -THETA_THRESHOLD_RADIANS) ||
                             (theta > THETA_THRESHOLD_RADIANS);
     rewards[e] = 1.0f;
+    dones[e] = (timesteps[e] >= episode_length || terminated) ? 1 : 0;
+  }
+}
+
+// Pendulum (warpdrive_tpu/envs/classic_control/pendulum.py:79-98; reference
+// numba kernel pendulum_step_numba.py:31-74): cost on the PRE-step angle,
+// obs (cos th, sin th, thdot), done only at episode end.  Python-float
+// constant subexpressions are folded in double then rounded to float at the
+// point numpy's weak-scalar promotion rounds them.
+//   state: (n_envs, 2) float32 [theta, theta_dot]; obs out: (n_envs, 3)
+void wd_pendulum_step(int n_envs, float* state, const float* actions,
+                      int* timesteps, float* rewards, int* dones,
+                      int episode_length, float* obs) {
+  const float coef_g = (float)(3.0 * 9.81 / (2.0 * 1.0));  // 3g/(2L)
+  const float coef_u = (float)(3.0 / (1.0 * 1.0));         // 3/(M L^2)
+  const float dt = 0.05f;
+  for (int e = 0; e < n_envs; ++e) {
+    float* s = state + 2L * e;
+    timesteps[e] += 1;
+    const float u = clipf(actions[e], -2.0f, 2.0f);
+    const float th = s[0], thdot = s[1];
+    const float an = wrap_pi(th);
+    const float costs =
+        an * an + 0.1f * (thdot * thdot) + 0.001f * (u * u);
+    float newthdot =
+        thdot + (coef_g * sinf_np(th) + coef_u * u) * dt;
+    newthdot = clipf(newthdot, -8.0f, 8.0f);
+    const float newth = th + newthdot * dt;
+    s[0] = newth;
+    s[1] = newthdot;
+    float* o = obs + 3L * e;
+    o[0] = cosf_np(newth);
+    o[1] = sinf_np(newth);
+    o[2] = newthdot;
+    rewards[e] = -costs;
+    dones[e] = timesteps[e] >= episode_length ? 1 : 0;
+  }
+}
+
+// MountainCar-v0, discrete (mountain_car.py:67-87; reference numba kernel
+// mountain_car_step_numba.py:15-70).  obs == state.
+//   state: (n_envs, 2) float32 [position, velocity]; actions in {0,1,2}
+void wd_mountain_car_step(int n_envs, float* state, const int* actions,
+                          int* timesteps, float* rewards, int* dones,
+                          int episode_length) {
+  for (int e = 0; e < n_envs; ++e) {
+    float* s = state + 2L * e;
+    timesteps[e] += 1;
+    float position = s[0], velocity = s[1];
+    // velocity += float32((a-1)*FORCE) + float32(cos(3p)*(-GRAVITY))
+    const float acc = (float)((double)(actions[e] - 1) * 0.001);
+    const float grav = cosf_np(3.0f * position) * (-0.0025f);
+    velocity = velocity + (acc + grav);
+    velocity = clipf(velocity, -0.07f, 0.07f);
+    position = position + velocity;
+    position = clipf(position, -1.2f, 0.6f);
+    if (position == -1.2f && velocity < 0.0f) velocity = 0.0f;
+    s[0] = position;
+    s[1] = velocity;
+    const bool terminated = position >= 0.5f && velocity >= 0.0f;
+    rewards[e] = -1.0f;
+    dones[e] = (timesteps[e] >= episode_length || terminated) ? 1 : 0;
+  }
+}
+
+// Continuous MountainCar (continuous_mountain_car.py:69-89; reference numba
+// kernel continuous_mountain_car_step_numba.py:15-73).  The action penalty
+// float(action)**2 * 0.1 is computed in python DOUBLE before the engine's
+// final float32 cast — reproduced exactly.  obs == state.
+void wd_continuous_mountain_car_step(int n_envs, float* state,
+                                     const float* actions, int* timesteps,
+                                     float* rewards, int* dones,
+                                     int episode_length) {
+  for (int e = 0; e < n_envs; ++e) {
+    float* s = state + 2L * e;
+    timesteps[e] += 1;
+    const float action = actions[e];
+    float position = s[0], velocity = s[1];
+    const float force = clipf(action, -1.0f, 1.0f);
+    const float a = force * 0.0015f;                       // float32(force*POWER)
+    const float b = (float)(0.0025) * cosf_np(3.0f * position);
+    velocity = velocity + (a - b);
+    velocity = clipf(velocity, -0.07f, 0.07f);
+    position = position + velocity;
+    position = clipf(position, -1.2f, 0.6f);
+    if (position == -1.2f && velocity < 0.0f) velocity = 0.0f;
+    s[0] = position;
+    s[1] = velocity;
+    const bool terminated = position >= 0.45f && velocity >= 0.0f;
+    const double rew =
+        (terminated ? 100.0 : 0.0) - (double)action * (double)action * 0.1;
+    rewards[e] = (float)rew;
+    dones[e] = (timesteps[e] >= episode_length || terminated) ? 1 : 0;
+  }
+}
+
+namespace {
+
+// Acrobot two-link ODE RHS (acrobot.py:50-80; reference numba kernel
+// acrobot_step_numba.py:71-109).  Evaluation order and the double→float
+// rounding points mirror the numpy expression tree: pure-python-float
+// subexpressions fold in double, everything touching state is float32.
+inline void acrobot_dsdt(const float* s, float torque, float* out) {
+  const float th1 = s[0], th2 = s[1], dth1 = s[2], dth2 = s[3];
+  const float cos_th2 = cosf_np(th2);
+  const float sin_th2 = sinf_np(th2);
+  // d1 = 0.25 + 1.0*(1.25 + 1.0*cos th2) + 1 + 1  (m,l,lc folded)
+  const float d1 = (float)(0.25) + ((float)(1.25) + (float)(1.0) * cos_th2)
+                   + (float)(1.0) + (float)(1.0);
+  // d2 = 1.0 * (0.25 + 0.5*cos th2) + 1
+  const float d2 = ((float)(0.25) + (float)(0.5) * cos_th2) + (float)(1.0);
+  const float phi2 =
+      (float)(0.5 * 9.8) * cosf_np(th1 + th2 - (float)(M_PI / 2.0));
+  const float phi1 =
+      (float)(-0.5) * (dth2 * dth2) * sin_th2
+      - (float)(1.0) * dth2 * dth1 * sin_th2
+      + (float)((1.0 * 0.5 + 1.0 * 1.0) * 9.8)
+            * cosf_np(th1 - (float)(M_PI / 2.0))
+      + phi2;
+  const float ddth2 =
+      (torque + d2 / d1 * phi1
+       - (float)(0.5) * (dth1 * dth1) * sin_th2 - phi2)
+      / ((float)(1.25) - (d2 * d2) / d1);
+  const float ddth1 = -(d2 * ddth2 + phi1) / d1;
+  out[0] = dth1;
+  out[1] = dth2;
+  out[2] = ddth1;
+  out[3] = ddth2;
+}
+
+}  // namespace
+
+// Acrobot, discrete torque {-1,0,1}, one RK4 step per env step
+// (acrobot.py:83-104,149-163; reference acrobot_step_numba.py:112-178).
+//   state: (n_envs, 4) float32 [th1, th2, dth1, dth2]
+//   obs out: (n_envs, 6) [cos th1, sin th1, cos th2, sin th2, dth1, dth2]
+void wd_acrobot_step(int n_envs, float* state, const int* actions,
+                     int* timesteps, float* rewards, int* dones,
+                     int episode_length, float* obs) {
+  const float dt = 0.2f;
+  const float dt2 = (float)(0.2 / 2.0);
+  const float dt6 = (float)(0.2 / 6.0);
+  const float max_v1 = (float)(4.0 * M_PI);
+  const float max_v2 = (float)(9.0 * M_PI);
+  for (int e = 0; e < n_envs; ++e) {
+    float* s = state + 4L * e;
+    timesteps[e] += 1;
+    const float torque = (float)(actions[e] - 1);
+    float k1[4], k2[4], k3[4], k4[4], tmp[4], ns[4];
+    acrobot_dsdt(s, torque, k1);
+    for (int i = 0; i < 4; ++i) tmp[i] = s[i] + k1[i] * dt2;
+    acrobot_dsdt(tmp, torque, k2);
+    for (int i = 0; i < 4; ++i) tmp[i] = s[i] + k2[i] * dt2;
+    acrobot_dsdt(tmp, torque, k3);
+    for (int i = 0; i < 4; ++i) tmp[i] = s[i] + k3[i] * dt;
+    acrobot_dsdt(tmp, torque, k4);
+    for (int i = 0; i < 4; ++i)
+      ns[i] = s[i] + dt6 * (k1[i] + 2.0f * k2[i] + 2.0f * k3[i] + k4[i]);
+    s[0] = wrap_pi(ns[0]);
+    s[1] = wrap_pi(ns[1]);
+    s[2] = clipf(ns[2], -max_v1, max_v1);
+    s[3] = clipf(ns[3], -max_v2, max_v2);
+    const bool terminated =
+        (-cosf_np(s[0]) - cosf_np(s[1] + s[0])) > 1.0f;
+    float* o = obs + 6L * e;
+    o[0] = cosf_np(s[0]);
+    o[1] = sinf_np(s[0]);
+    o[2] = cosf_np(s[1]);
+    o[3] = sinf_np(s[1]);
+    o[4] = s[2];
+    o[5] = s[3];
+    rewards[e] = terminated ? 0.0f : -1.0f;
     dones[e] = (timesteps[e] >= episode_length || terminated) ? 1 : 0;
   }
 }
