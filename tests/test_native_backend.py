@@ -31,7 +31,7 @@ def _native_or_skip(**kw):
 
 
 def _lockstep(make_cfg, n_steps, rng, obs_exact=True):
-    from warpdrive_tpu.utils.spaces import Discrete
+    from warpdrive_tpu.utils.spaces import Discrete, MultiDiscrete
 
     eng_py = CpuEnvEngine(native=False, **make_cfg())
     eng_cc = _native_or_skip(**make_cfg())
@@ -47,6 +47,15 @@ def _lockstep(make_cfg, n_steps, rng, obs_exact=True):
     if isinstance(space, Discrete):
         def draw():
             return rng.integers(0, space.n, size=(E, N, C)).astype(np.int32)
+    elif isinstance(space, MultiDiscrete):
+        def draw():
+            return np.stack(
+                [
+                    rng.integers(0, int(n), size=(E, N))
+                    for n in space.nvec
+                ],
+                axis=-1,
+            ).astype(np.int32)
     else:
         lo = float(np.asarray(space.low).reshape(-1)[0])
         hi = float(np.asarray(space.high).reshape(-1)[0])
@@ -196,6 +205,43 @@ def test_acrobot_native_trajectory():
     _lockstep(
         lambda: dict(
             env_obj=ClassicControlAcrobotEnv(episode_length=40, seed=17),
+            num_envs=6,
+        ),
+        n_steps=100,
+        rng=rng,
+        obs_exact=False,
+    )
+
+
+def test_tag_continuous_native_full_obs():
+    from warpdrive_tpu.envs.tag_continuous import TagContinuous
+
+    rng = np.random.default_rng(8)
+    _lockstep(
+        lambda: dict(
+            env_obj=TagContinuous(
+                num_taggers=3, num_runners=7, grid_length=8.0,
+                episode_length=40, seed=21, tagging_distance=0.05,
+            ),
+            num_envs=6,
+        ),
+        n_steps=100,
+        rng=rng,
+        obs_exact=False,
+    )
+
+
+def test_tag_continuous_native_knn_obs():
+    from warpdrive_tpu.envs.tag_continuous import TagContinuous
+
+    rng = np.random.default_rng(9)
+    _lockstep(
+        lambda: dict(
+            env_obj=TagContinuous(
+                num_taggers=3, num_runners=7, grid_length=8.0,
+                episode_length=40, seed=23, tagging_distance=0.05,
+                use_full_observation=False, num_other_agents_observed=4,
+            ),
             num_envs=6,
         ),
         n_steps=100,

@@ -46,8 +46,8 @@ def get_lib() -> ctypes.CDLL:
         )
         if needs_build:
             cmd = [
-                "g++", "-O3", "-march=native", "-shared", "-fPIC",
-                "-o", _LIB + ".tmp", _SRC,
+                "g++", "-O3", "-march=native", "-fopenmp", "-shared",
+                "-fPIC", "-o", _LIB + ".tmp", _SRC,
             ]
             try:
                 subprocess.run(
@@ -100,6 +100,20 @@ def _declare(lib):
         ctypes.c_int, ctypes.c_int, f32p,
     ]
     lib.wd_tag_gridworld_observe.restype = None
+    lib.wd_tag_continuous_step.argtypes = [
+        ctypes.c_int, ctypes.c_int, f32p, f32p, f32p, f32p, f32p, i32p,
+        i32p, i32p, f32p, i32p, f32p, f32p, i32p, f32p, f32p,
+        ctypes.c_int, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.c_int,
+    ]
+    lib.wd_tag_continuous_step.restype = None
+    lib.wd_tag_continuous_observe.argtypes = [
+        ctypes.c_int, ctypes.c_int, f32p, f32p, f32p, f32p, f32p, i32p,
+        i32p, i32p, ctypes.c_int, ctypes.c_float, ctypes.c_float,
+        ctypes.c_int, ctypes.c_int, f32p,
+    ]
+    lib.wd_tag_continuous_observe.restype = None
 
 
 def _f32p(a):
@@ -346,6 +360,101 @@ class TagGridWorldAdapter(_AdapterBase):
         return self.observe(), rewards, dones
 
 
+class TagContinuousAdapter(_AdapterBase):
+    env_class_names = ("TagContinuous",)
+
+    def __init__(self, envs):
+        super().__init__(envs)
+        env = self.env
+        self.n_agents = N = int(env.num_agents)
+        E = self.n_envs
+        self.loc_x = np.zeros((E, N), np.float32)
+        self.loc_y = np.zeros((E, N), np.float32)
+        self.speed = np.zeros((E, N), np.float32)
+        self.direction = np.zeros((E, N), np.float32)
+        self.acceleration = np.zeros((E, N), np.float32)
+        self.still = np.ones((E, N), np.int32)
+        # static config (shared across replicas; rounded exactly as the
+        # numpy reference rounds them)
+        from warpdrive_tpu.envs.tag_continuous import _EPS
+
+        self._is_tagger = np.ascontiguousarray(
+            env.is_tagger.astype(np.int32)
+        )
+        self._skill = np.ascontiguousarray(env.skill_levels, np.float32)
+        self._step_rewards = np.ascontiguousarray(
+            env.step_rewards, np.float32
+        )
+        self._acc_table = np.ascontiguousarray(
+            env.acceleration_actions, np.float32
+        )
+        self._turn_table = np.ascontiguousarray(env.turn_actions, np.float32)
+        self._speed_denom = np.float32(env.max_speed + _EPS)
+        self.reset_all(envs)
+
+    def _reset_rows_(self, idx):
+        # TagContinuous resets are deterministic: starting arrays are drawn
+        # once at construction (tag_continuous.py:307-315) — no python
+        # env.reset() round-trip (which would rebuild the O(N^2 k) obs)
+        env = self.env
+        self.loc_x[idx] = env.starting_location_x
+        self.loc_y[idx] = env.starting_location_y
+        self.speed[idx] = 0.0
+        self.direction[idx] = env.starting_directions
+        self.acceleration[idx] = 0.0
+        self.still[idx] = 1
+        self.timesteps[idx] = 0
+
+    def reset_all(self, envs):
+        self._reset_rows_(slice(None))
+        return self.observe()
+
+    def reset_rows(self, idx, envs):
+        self._reset_rows_(idx)
+
+    def observe(self):
+        env = self.env
+        D = int(env.obs_size)
+        obs = np.empty((self.n_envs, self.n_agents, D), np.float32)
+        self.lib.wd_tag_continuous_observe(
+            self.n_envs, self.n_agents, _f32p(self.loc_x),
+            _f32p(self.loc_y), _f32p(self.speed), _f32p(self.direction),
+            _f32p(self.acceleration), _i32p(self.still),
+            _i32p(self.timesteps), _i32p(self._is_tagger),
+            int(env.episode_length), float(env.grid_diagonal),
+            float(self._speed_denom),
+            1 if env.use_full_observation else 0,
+            int(env.num_other_agents_observed), _f32p(obs),
+        )
+        return obs
+
+    def step(self, actions):
+        env = self.env
+        acts = np.ascontiguousarray(
+            np.asarray(actions).reshape(self.n_envs, self.n_agents, 2),
+            np.int32,
+        )
+        rewards = np.empty((self.n_envs, self.n_agents), np.float32)
+        dones = np.empty((self.n_envs,), np.int32)
+        self.lib.wd_tag_continuous_step(
+            self.n_envs, self.n_agents, _f32p(self.loc_x),
+            _f32p(self.loc_y), _f32p(self.speed), _f32p(self.direction),
+            _f32p(self.acceleration), _i32p(self.still), _i32p(acts),
+            _i32p(self.timesteps), _f32p(rewards), _i32p(dones),
+            _f32p(self._acc_table), _f32p(self._turn_table),
+            _i32p(self._is_tagger), _f32p(self._skill),
+            _f32p(self._step_rewards), int(env.episode_length),
+            float(env.max_speed), float(env.grid_length),
+            float(env.edge_hit_penalty),
+            float(env.distance_margin_for_reward),
+            float(env.tag_reward_for_tagger),
+            float(env.tag_penalty_for_runner),
+            float(env.end_of_game_reward_for_runner),
+            1 if env.runner_exits_game_after_tagged else 0,
+        )
+        return self.observe(), rewards, dones
+
+
 _ADAPTERS = {}
 for _cls in (
     CartPoleAdapter,
@@ -354,6 +463,7 @@ for _cls in (
     ContinuousMountainCarAdapter,
     AcrobotAdapter,
     TagGridWorldAdapter,
+    TagContinuousAdapter,
 ):
     for _name in _cls.env_class_names:
         _ADAPTERS[_name] = _cls

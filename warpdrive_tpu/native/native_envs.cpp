@@ -374,4 +374,197 @@ void wd_tag_gridworld_observe(int n_envs, int n_agents, int grid_length,
   }
 }
 
+// TagContinuous: taggers chase runners on a continuous 2D square
+// (warpdrive_tpu/envs/tag_continuous.py:317-388; reference CUDA kernel
+// tag_continuous_step_pycuda.cu:28-521).  One call advances every env:
+// physics, tagging (nearest-tagger credit, sequential float32 accumulation
+// in runner-id order like np.add.at), exits, end-of-game rewards, done.
+//   loc_x/loc_y/speed/direction/accel: (n_envs, n_agents) float32, in place
+//   still:     (n_envs, n_agents) int32, in place
+//   actions:   (n_envs, n_agents, 2) int32 [acc level, turn level]
+//   rewards:   (n_envs, n_agents) float32 out
+void wd_tag_continuous_step(
+    int n_envs, int n_agents, float* loc_x, float* loc_y, float* speed,
+    float* direction, float* accel, int* still, const int* actions,
+    int* timesteps, float* rewards, int* dones, const float* acc_table,
+    const float* turn_table, const int* is_tagger, const float* skill,
+    const float* step_rewards, int episode_length, float max_speed,
+    float grid_length, float edge_hit_penalty, float distance_margin,
+    float tag_reward, float tag_penalty, float end_reward,
+    int runner_exits) {
+  const float two_pi = (float)(2.0 * M_PI);
+#pragma omp parallel for schedule(static)
+  for (int e = 0; e < n_envs; ++e) {
+    float* lx = loc_x + (long)e * n_agents;
+    float* ly = loc_y + (long)e * n_agents;
+    float* sp = speed + (long)e * n_agents;
+    float* dir = direction + (long)e * n_agents;
+    float* ac = accel + (long)e * n_agents;
+    int* st = still + (long)e * n_agents;
+    const int* act = actions + (long)e * n_agents * 2;
+    float* rew = rewards + (long)e * n_agents;
+    timesteps[e] += 1;
+
+    for (int a = 0; a < n_agents; ++a) {
+      const float still_f = (float)st[a];
+      // direction' = ((dir + dturn) mod 2pi) * still
+      float d = dir[a] + turn_table[act[2 * a + 1]];
+      float r = fmodf(d, two_pi);
+      if (r < 0.0f) r += two_pi;
+      dir[a] = r * still_f;
+      // speed' = clip(speed + acc', 0, max_speed*skill) * still;
+      // acceleration zeroed at the speed bounds
+      const float acc_new = ac[a] + acc_table[act[2 * a]];
+      const float ms = max_speed * skill[a];
+      float s = sp[a] + acc_new;
+      s = clipf(s, 0.0f, ms);
+      s *= still_f;
+      sp[a] = s;
+      ac[a] = (s > 0.0f && s < ms) ? acc_new : 0.0f;
+
+      const float nx = lx[a] + s * cosf_np(dir[a]);
+      const float ny = ly[a] + s * sinf_np(dir[a]);
+      const bool crossed =
+          !(nx >= 0.0f && nx <= grid_length && ny >= 0.0f &&
+            ny <= grid_length);
+      lx[a] = clipf(nx, 0.0f, grid_length);
+      ly[a] = clipf(ny, 0.0f, grid_length);
+      // rew[alive] += edge_penalty + step_rewards  (alive = pre-tag still)
+      rew[a] = st[a] > 0
+                   ? (edge_hit_penalty * (crossed ? 1.0f : 0.0f) +
+                      step_rewards[a])
+                   : 0.0f;
+    }
+
+    // tagging: per alive runner, nearest tagger (first index at the min,
+    // like argmin); runner-id-order accumulation matches np.add.at
+    for (int a = 0; a < n_agents; ++a) {
+      if (is_tagger[a] || st[a] <= 0) continue;
+      float best_d = 1e20f;
+      int best_j = -1;
+      for (int j = 0; j < n_agents; ++j) {
+        if (!is_tagger[j]) continue;
+        const float ddx = lx[a] - lx[j];
+        const float ddy = ly[a] - ly[j];
+        const float dist = (float)sqrt((double)(ddx * ddx + ddy * ddy));
+        if (dist < best_d) { best_d = dist; best_j = j; }
+      }
+      if (best_j >= 0 && best_d < distance_margin) {
+        rew[a] += tag_penalty;
+        rew[best_j] += tag_reward;
+        if (runner_exits) st[a] = 0;
+      }
+    }
+
+    int runners_alive = 0;
+    for (int a = 0; a < n_agents; ++a)
+      if (!is_tagger[a] && st[a] > 0) runners_alive += 1;
+    if (timesteps[e] == episode_length) {
+      for (int a = 0; a < n_agents; ++a)
+        if (!is_tagger[a] && st[a] > 0) rew[a] += end_reward;
+    }
+    dones[e] =
+        (timesteps[e] >= episode_length || runners_alive == 0) ? 1 : 0;
+  }
+}
+
+// TagContinuous observation build (tag_continuous.py:247-305; reference
+// obs kernel tag_continuous_step_pycuda.cu:295-468).
+//   full mode (use_full != 0): per agent, channel-major
+//     [5 rel feats x (N-1), types x (N-1), still x (N-1), t_norm];
+//     dead agents: zero features but REAL type/still rows and time 0.
+//   kNN mode: slot-major [k x (5 rel, type, still, valid)] + t_norm;
+//     dead agents: all zeros.  Neighbor order = stable argsort of the
+//     distance matrix (iterated lowest-index argmin).
+//   feats normalization constants are passed in pre-rounded to float32
+//   exactly as numpy computes them.
+void wd_tag_continuous_observe(
+    int n_envs, int n_agents, const float* loc_x, const float* loc_y,
+    const float* speed, const float* direction, const float* accel,
+    const int* still, const int* timesteps, const int* is_tagger,
+    int episode_length, float grid_diagonal, float speed_denom,
+    int use_full, int k, float* obs) {
+  const float two_pi = (float)(2.0 * M_PI);
+  const int D = use_full ? (7 * (n_agents - 1) + 1) : (8 * k + 1);
+  const float big = 1e20f;
+#pragma omp parallel for schedule(static)
+  for (int e = 0; e < n_envs; ++e) {
+    const float* lx = loc_x + (long)e * n_agents;
+    const float* ly = loc_y + (long)e * n_agents;
+    const float* sp = speed + (long)e * n_agents;
+    const float* dr = direction + (long)e * n_agents;
+    const float* ac = accel + (long)e * n_agents;
+    const int* st = still + (long)e * n_agents;
+    float* o_env = obs + (long)e * n_agents * D;
+    const float t_norm =
+        (float)((double)timesteps[e] / (double)episode_length);
+    const int N = n_agents;
+
+    // feats[c][j], c in {x, y, speed, acc, dir}
+    float* feats = new float[5L * N];
+    for (int j = 0; j < N; ++j) {
+      feats[0 * N + j] = lx[j] / grid_diagonal;
+      feats[1 * N + j] = ly[j] / grid_diagonal;
+      feats[2 * N + j] = sp[j] / speed_denom;
+      feats[3 * N + j] = ac[j] / speed_denom;
+      feats[4 * N + j] = dr[j] / two_pi;
+    }
+
+    if (use_full) {
+      for (int i = 0; i < N; ++i) {
+        float* o = o_env + (long)i * D;
+        const bool alive = st[i] > 0;
+        int col = 0;
+        for (int c = 0; c < 5; ++c) {
+          const float fi = feats[c * N + i];
+          for (int j = 0; j < N; ++j) {
+            if (j == i) continue;
+            o[col++] = alive ? feats[c * N + j] - fi : 0.0f;
+          }
+        }
+        for (int j = 0; j < N; ++j)
+          if (j != i) o[col++] = is_tagger[j] ? 1.0f : 0.0f;
+        for (int j = 0; j < N; ++j)
+          if (j != i) o[col++] = (float)st[j];
+        o[col] = alive ? t_norm : 0.0f;
+      }
+    } else {
+      float* dist = new float[(long)N];
+      for (int i = 0; i < N; ++i) {
+        float* o = o_env + (long)i * D;
+        if (st[i] <= 0) {
+          for (int c = 0; c < D; ++c) o[c] = 0.0f;
+          continue;
+        }
+        for (int j = 0; j < N; ++j) {
+          if (j == i || st[j] == 0) { dist[j] = big; continue; }
+          const float ddx = lx[i] - lx[j];
+          const float ddy = ly[i] - ly[j];
+          dist[j] = (float)sqrt((double)(ddx * ddx + ddy * ddy));
+        }
+        for (int s = 0; s < k; ++s) {
+          float best_d = big;
+          int best_j = -1;
+          for (int j = 0; j < N; ++j)
+            if (dist[j] < best_d) { best_d = dist[j]; best_j = j; }
+          float* slot = o + 8L * s;
+          if (best_j >= 0) {
+            for (int c = 0; c < 5; ++c)
+              slot[c] = feats[c * N + best_j] - feats[c * N + i];
+            slot[5] = is_tagger[best_j] ? 1.0f : 0.0f;
+            slot[6] = (float)st[best_j];
+            slot[7] = 1.0f;
+            dist[best_j] = big;
+          } else {
+            for (int c = 0; c < 8; ++c) slot[c] = 0.0f;
+          }
+        }
+        o[8 * k] = t_norm;
+      }
+      delete[] dist;
+    }
+    delete[] feats;
+  }
+}
+
 }  // extern "C"
