@@ -47,8 +47,9 @@ def _build_state(env, num_envs, seed):
     }
 
 
+@pytest.mark.parametrize("variant", ["packed", "onehot"])
 @pytest.mark.parametrize("num_agents,k", [(15, 4), (105, 10)])
-def test_kernel_matches_pure_jax_observe(num_agents, k):
+def test_kernel_matches_pure_jax_observe(num_agents, k, variant):
     env = TpuTagContinuous(
         num_taggers=max(2, num_agents // 5),
         num_runners=num_agents - max(2, num_agents // 5),
@@ -82,6 +83,7 @@ def test_kernel_matches_pure_jax_observe(num_agents, k):
         n_agents=env.num_agents,
         k=k,
         interpret=True,
+        variant=variant,
     )
 
     assert out.shape == ref.shape
@@ -90,10 +92,14 @@ def test_kernel_matches_pure_jax_observe(num_agents, k):
     )
 
 
-def test_topk_knn_algorithm_matches_passes():
-    """The single-pass top_k kNN observation must equal the k-round argmin
-    algorithm exactly (stable lowest-index ties), and match the numpy
-    reference via the consistency checker."""
+@pytest.mark.parametrize("algo", ["topk", "ladder", "packed"])
+def test_knn_algorithm_matches_passes(algo):
+    """Every alternative kNN observation algorithm must equal the k-round
+    argmin rewrite loop ("passes") — exactly for "topk" (stable
+    lowest-index ties) and "ladder" (lexicographic monotonic ladder);
+    "packed" quantizes the low mantissa bits, deterministic under the
+    fixed seeds here — and match the numpy reference via the consistency
+    checker."""
     import numpy as np
 
     import jax
@@ -113,7 +119,7 @@ def test_topk_knn_algorithm_matches_passes():
     )
     eng_a = EnvEngine(env_obj=TpuTagContinuous(**kwargs), num_envs=4, seed=2)
     eng_b = EnvEngine(
-        env_obj=TpuTagContinuous(knn_algorithm="topk", **kwargs),
+        env_obj=TpuTagContinuous(knn_algorithm=algo, **kwargs),
         num_envs=4, seed=2,
     )
     state = dict(eng_a.state)
@@ -127,11 +133,11 @@ def test_topk_knn_algorithm_matches_passes():
     obs_b = np.asarray(eng_b.observe(state))
     np.testing.assert_allclose(obs_a, obs_b, rtol=1e-6, atol=1e-6)
 
-    # full lockstep consistency of the topk variant vs the numpy reference
+    # full lockstep consistency of the variant vs the numpy reference
     EnvironmentCPUvsTPU(
         cpu_env_class=TagContinuous,
         tpu_env_class=lambda **kw: TpuTagContinuous(
-            knn_algorithm="topk", **kw
+            knn_algorithm=algo, **kw
         ),
         env_configs={"base": kwargs},
         num_envs=3,

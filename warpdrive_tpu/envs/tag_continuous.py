@@ -84,6 +84,7 @@ class TagContinuous:
         runner_exits_game_after_tagged=True,
         env_backend="cpu",
         knn_algorithm="passes",
+        knn_select="fused",
     ):
         # kNN observation algorithm on the TPU path (numerically identical;
         # selectable for hardware benchmarking):
@@ -92,12 +93,32 @@ class TagContinuous:
         #   "topk":   one jax.lax.top_k over -dist2 yields all k neighbor
         #             indices in a single pass (stable lowest-index ties,
         #             matching argmin), then k small one-hot contractions;
+        #   "ladder": monotonic-ladder rewrite of "passes": slot s is "min
+        #             lexicographically greater than slot s-1's (min,
+        #             argmin)" — the distance matrix is built once and
+        #             never rewritten (no per-slot masked store), exact
+        #             same results as "passes" including tie-breaks;
+        #   "packed": the ladder with the candidate index packed into the
+        #             low mantissa bits of the (non-negative) squared
+        #             distance so integer ordering equals float ordering:
+        #             ONE min-reduction per slot yields min+argmin (~1 HBM
+        #             pass/slot).  Caveat: distances within relative
+        #             2^-(23-ceil(log2 N)) tie-break by index instead of
+        #             true order — and TagContinuous positions are
+        #             lattice-like (discrete speed/turn levels), so such
+        #             near-ties DO occur; use for throughput benching, not
+        #             for bit-exact consistency runs;
         #   "pallas": the fused VMEM-resident kernel (ops/knn_obs.py) as a
         #             batched observe (NOT composable into lax.scan bodies
         #             if the Mosaic pallas-in-scan limitation still holds —
         #             use for out-of-scan observation serving/benching, or
         #             after the staged experiments confirm scan support).
-        assert knn_algorithm in ("passes", "topk", "pallas")
+        assert knn_algorithm in ("passes", "topk", "ladder", "packed", "pallas")
+        # knn_select picks how neighbor features are pulled once the slot
+        # indices are known (topk/ladder/packed only): "fused" one-hot
+        # masked-sum (default) or "gather" take_along_axis (see observe_fn)
+        assert knn_select in ("fused", "gather")
+        self.knn_select = knn_select
         self.knn_algorithm = knn_algorithm
         assert num_taggers > 0 and num_runners > 0 and episode_length > 0
         self.num_taggers = int(num_taggers)
@@ -414,49 +435,6 @@ class TpuTagContinuous(TagContinuous, TpuEnvironmentContext):
         )
         return data
 
-    @property
-    def observe_batch_fn(self):
-        """Batched observation override consumed by ``EnvEngine.observe``:
-        the fused Pallas kNN kernel when ``knn_algorithm='pallas'``
-        (VMEM-resident k-selection, ``ops/knn_obs.py``), else None (the
-        engine vmaps ``observe_fn``).  Interpret mode keeps it runnable on
-        CPU CI."""
-        if self.knn_algorithm != "pallas" or self.use_full_observation:
-            return None
-        from warpdrive_tpu.ops.knn_obs import knn_observation
-
-        import jax as _jax
-
-        interpret = _jax.default_backend() != "tpu"
-        diag = self.grid_diagonal
-        max_speed = self.max_speed
-        k = self.num_other_agents_observed
-        types_f = jnp.asarray(self.agent_types, dtype=jnp.float32)
-        N = self.num_agents
-        T_len = self.episode_length
-        eps = _EPS
-
-        def observe_batch(state: dict) -> jnp.ndarray:
-            lx, ly = state["loc_x"], state["loc_y"]
-            feats = jnp.stack(
-                [
-                    lx / diag,
-                    ly / diag,
-                    state["speed"] / (max_speed + eps),
-                    state["acceleration"] / (max_speed + eps),
-                    state["direction"] / np.float32(2 * np.pi),
-                ],
-                axis=1,
-            )  # (E, 5, N)
-            still_f = state["still_in_the_game"].astype(jnp.float32)
-            t_norm = (state[Constants.TIMESTEP] / T_len).astype(jnp.float32)
-            return knn_observation(
-                lx, ly, feats, types_f, still_f, t_norm,
-                n_agents=N, k=k, interpret=interpret,
-            )
-
-        return observe_batch
-
     def step_fn(self, state: dict) -> dict:
         """Full step = observe ∘ physics (compat / consistency-check path)."""
         out = self.physics_fn(state, state[_ACTIONS])
@@ -569,18 +547,15 @@ class TpuTagContinuous(TagContinuous, TpuEnvironmentContext):
         """
         use_pallas = (
             (not self.use_full_observation)
-            and getattr(self, "pallas_observe", False)
-            and jax.devices()[0].platform == "tpu"
+            and self.knn_algorithm == "pallas"
         )
-        # The Pallas kernel is ~0.1 ms for 2000 envs standalone, but a
-        # pallas_call inside a lax.scan body triggers pathological XLA-TPU
-        # compile times in the current toolchain, so the fused rollout
-        # defaults to the pure-JAX slot-major path; set
-        # ``env.pallas_observe = True`` for out-of-scan callers.
         if not use_pallas:
             return jax.vmap(self.observe_fn)(dict(state))
 
         from warpdrive_tpu.ops.knn_obs import knn_observation
+
+        # interpret mode keeps the kernel runnable on CPU CI
+        interpret = jax.default_backend() != "tpu"
 
         loc_x = state["loc_x"]
         loc_y = state["loc_y"]
@@ -607,6 +582,7 @@ class TpuTagContinuous(TagContinuous, TpuEnvironmentContext):
             t_norm,
             n_agents=self.num_agents,
             k=self.num_other_agents_observed,
+            interpret=interpret,
         )
 
     def observe_fn(self, state: dict) -> jnp.ndarray:
@@ -694,33 +670,65 @@ class TpuTagContinuous(TagContinuous, TpuEnvironmentContext):
             if self.knn_algorithm == "topk":
                 # ONE pass over d2: lax.top_k on -d2 returns the k nearest
                 # with stable lowest-index tie-breaking (same order as the
-                # iterated argmin), then k small one-hot contractions pull
-                # the neighbor features — ~10x less HBM traffic than the
-                # k-round rewrite loop below
+                # iterated argmin); selection is shared with ladder/packed
+                # below
                 neg_vals, nbr_idx = lax.top_k(-d2, k)  # (N, k) each
-                for _slot in range(k):
-                    valid = (neg_vals[:, _slot] > -_BIG).astype(jnp.float32)
-                    onehot = (
-                        col_j == nbr_idx[:, _slot][:, None]
-                    ).astype(jnp.float32)  # (N, N)
-                    nbr = jnp.einsum(
-                        "ij,cj->ic",
-                        onehot,
-                        src8,
-                        precision=lax.Precision.HIGHEST,
-                    )  # (N, 7)
-                    rel = (nbr[:, :5] - feats.T) * valid[:, None]
-                    slots.append(
-                        jnp.concatenate(
-                            [
-                                rel,
-                                nbr[:, 5:6] * valid[:, None],
-                                nbr[:, 6:7] * valid[:, None],
-                                valid[:, None],
-                            ],
-                            axis=1,
+                am_all = nbr_idx.astype(jnp.int32)  # (N, k)
+                valid_all = (neg_vals > -_BIG).astype(jnp.float32)
+            elif self.knn_algorithm in ("ladder", "packed"):
+                # Monotonic ladder: d2 is materialized ONCE and never
+                # rewritten.  Slot s selects "min over entries
+                # lexicographically greater than slot s-1's (min, argmin)"
+                # — identical output to the k-round rewrite loop below
+                # (including lowest-index tie-breaks) with no per-slot
+                # masked store of the N^2 matrix.
+                #
+                # "ladder" carries (prev_m, prev_am) and re-reduces d2 per
+                # slot (XLA multi-output-fuses the min and argmin into one
+                # traversal).  "packed" packs the candidate index into the
+                # low b mantissa bits of the non-negative distance (integer
+                # bit-pattern order == float order), so one integer min
+                # yields min+argmin — but distances within relative
+                # 2^-(23-b) then tie-break by index (see __init__ note).
+                if self.knn_algorithm == "packed":
+                    b = max(1, int(N - 1).bit_length())
+                    low_mask = np.int32((1 << b) - 1)
+                    sentinel = np.int32(np.iinfo(np.int32).max)
+                    valid_max = np.int32(np.float32(1e18).view(np.int32))
+                    d2i = jnp.bitwise_or(
+                        jnp.bitwise_and(
+                            lax.bitcast_convert_type(d2, jnp.int32),
+                            ~low_mask,
+                        ),
+                        col_j,
+                    )  # (N, N) int32, all entries distinct
+                    prev = jnp.full((N, 1), -1, dtype=jnp.int32)
+                    ms, ams, valids = [], [], []
+                    for _slot in range(k):
+                        m = jnp.min(
+                            jnp.where(d2i > prev, d2i, sentinel), axis=1
+                        )  # packed: value bits + argmin in the low bits
+                        ms.append(m)
+                        valids.append((m < valid_max).astype(jnp.float32))
+                        ams.append(jnp.bitwise_and(m, low_mask))
+                        prev = m[:, None]
+                else:
+                    prev_m = jnp.full((N, 1), -1.0, dtype=d2.dtype)
+                    prev_am = jnp.full((N, 1), -1, dtype=jnp.int32)
+                    ams, valids = [], []
+                    for _slot in range(k):
+                        later = (d2 > prev_m) | (
+                            (d2 == prev_m) & (col_j > prev_am)
                         )
-                    )
+                        cand = jnp.where(later, d2, _BIG)
+                        m = jnp.min(cand, axis=1)
+                        am = jnp.argmin(cand, axis=1)
+                        valids.append((m < _BIG).astype(jnp.float32))
+                        ams.append(am)
+                        prev_m = m[:, None]
+                        prev_am = am[:, None].astype(jnp.int32)
+                am_all = jnp.stack(ams, axis=1)  # (N, k) int32
+                valid_all = jnp.stack(valids, axis=1)  # (N, k)
             else:
                 for _slot in range(k):
                     m = jnp.min(d2, axis=1)  # (N,)
@@ -746,6 +754,50 @@ class TpuTagContinuous(TagContinuous, TpuEnvironmentContext):
                     )  # (N, 8)
                     slots.append(slot8)
                     d2 = jnp.where(onehot > 0.5, _BIG, d2)
+
+            if self.knn_algorithm != "passes":
+                # Shared selection from (am_all, valid_all) — the slot
+                # neighbor indices — to the (N, k, 8) slot block:
+                #
+                # "fused" (default): a single masked-sum reduction over the
+                # (N, k, 7, N) one-hot-times-feature tensor, generated on
+                # the fly and reduced over the last axis in one VPU
+                # traversal — never materialized to HBM.  (An MXU one-hot
+                # einsum would stream a (N, k, N) operand through HBM,
+                # which measured as the dominant cost of the obs build.)
+                #
+                # "gather": take_along_axis on the (7, N) feature table —
+                # O(N*k) work instead of O(N*k*N), IF XLA lowers this
+                # batched small-table gather vectorized on TPU (A/B'd on
+                # hardware; large data-dependent gathers lower serially).
+                if self.knn_select == "gather":
+                    nbr = jnp.take_along_axis(
+                        src8[None, :, :],  # (1, 7, N)
+                        am_all.reshape(1, 1, N * k),
+                        axis=2,
+                    ).reshape(7, N, k).transpose(1, 2, 0)  # (N, k, 7)
+                else:
+                    onehot_b = (
+                        col_j[:, None, :] == am_all[:, :, None]
+                    )  # (N, k, N) bool
+                    nbr = jnp.sum(
+                        jnp.where(
+                            onehot_b[:, :, None, :],
+                            src8[None, None, :, :],
+                            0.0,
+                        ),
+                        axis=3,
+                    )  # (N, k, 7)
+                v = valid_all[:, :, None]
+                slot_blk = jnp.concatenate(
+                    [
+                        (nbr[:, :, :5] - feats.T[:, None, :]) * v,
+                        nbr[:, :, 5:7] * v,
+                        v,
+                    ],
+                    axis=2,
+                )  # (N, k, 8)
+                slots = [slot_blk[:, s, :] for s in range(k)]
 
             slot_block = jnp.stack(slots, axis=1)  # (N, k, 8) slot-major
             obs = jnp.concatenate(

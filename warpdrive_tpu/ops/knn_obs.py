@@ -42,6 +42,17 @@ _BIG = np.float32(1e20)
 
 LANE = 128  # TPU lane width; the agent axis is padded to this
 
+# int32 views for the packed-index argmin trick (v2 kernel): for
+# non-negative finite floats, integer ordering of the bit pattern equals
+# float ordering, so replacing the low 7 mantissa bits with the candidate's
+# lane index makes every entry unique and lets ONE min-reduction return
+# both the minimum and its (lowest-index) argmin.  Any real squared
+# distance is << 1e18, so a packed value above _VALID_MAX means "masked".
+_IDX_MASK = np.int32(LANE - 1)
+_CLEAR_MASK = np.int32(~(LANE - 1))
+_BIG_PACKED = np.int32(np.float32(_BIG).view(np.int32) & ~(LANE - 1))
+_VALID_MAX = np.int32(np.float32(1e18).view(np.int32))
+
 
 def _knn_obs_kernel(xy_ref, src_ref, out_ref, *, n_agents: int, k: int):
     """One grid step: a (B, ...) block of envs, fully batched.
@@ -121,8 +132,88 @@ def _knn_obs_kernel(xy_ref, src_ref, out_ref, *, n_agents: int, k: int):
         out_ref[:, 8 * k + 1 :, :] = jnp.zeros((B, pad_rows, LANE), jnp.float32)
 
 
+def _knn_obs_kernel_v2(xy_ref, src_ref, out_ref, *, n_agents: int, k: int):
+    """Packed-argmin variant — same refs/layout contract as
+    ``_knn_obs_kernel``, ~2x fewer VPU passes per slot.
+
+    The candidate's lane index is written into the low 7 mantissa bits of
+    its (non-negative) squared distance, so integer ordering equals float
+    ordering and ONE min-reduction yields the minimum, its argmin (the low
+    bits), and — because packed entries are pairwise distinct — an EXACT
+    one-hot match ``eq = (d2i == min)`` that is shared by the neighbor
+    selection and the ladder rewrite.  This replaces the original kernel's
+    per-slot (min, cand-argmin, onehot, rewrite-compare) reduction chain
+    with (min, eq, rewrite-select).
+
+    Caveat: two distances equal after clearing the low 7 mantissa bits
+    (relative difference < 2^-16) tie-break by index; measure-zero for
+    continuous positions and irrelevant to the 1% consistency bar.
+    """
+    B = xy_ref.shape[0]
+    col_j = jax.lax.broadcasted_iota(jnp.int32, (B, LANE, LANE), 2)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (B, LANE, LANE), 1)
+
+    x = xy_ref[:, 0, :]  # (B, LANE)
+    y = xy_ref[:, 1, :]
+    src = src_ref[:]  # (B, 8, LANE)
+
+    def chan(c):  # (B, 1, LANE) — broadcastable against (B, LANE, LANE)
+        return src[:, c : c + 1, :]
+
+    def chan_flat(c):  # (B, LANE)
+        return jax.lax.squeeze(src[:, c : c + 1, :], [1])
+
+    still_lane = chan(6)  # lane = candidate j
+    alive_row = (chan_flat(6) >= 0.5).astype(jnp.float32)  # lane = i
+
+    dx = x[:, :, None] - x[:, None, :]
+    dy = y[:, :, None] - y[:, None, :]
+    d2 = dx * dx + dy * dy  # (B, LANE_i, LANE_j), non-negative
+
+    invalid = (col_j >= n_agents) | (col_j == row_i) | (still_lane < 0.5)
+    d2 = jnp.where(invalid, _BIG, d2)
+    # pack: low 7 bits <- candidate lane index (see module-level masks)
+    d2i = jnp.bitwise_or(
+        jnp.bitwise_and(pltpu.bitcast(d2, jnp.int32), _CLEAR_MASK), col_j
+    )
+
+    def slot_body(slot, d2i):
+        m2 = jnp.min(d2i, axis=2, keepdims=True)  # (B, LANE_i, 1)
+        m = jax.lax.squeeze(m2, [2])  # (B, LANE_i) lane-major
+        valid = (m < _VALID_MAX).astype(jnp.float32)  # (B, LANE)
+        eq = d2i == m2  # exact one-hot: packed entries are unique
+
+        # one-hot select per channel: masked reduction over the lane axis
+        nbr = [
+            jnp.sum(jnp.where(eq, chan(c), 0.0), axis=2) for c in range(7)
+        ]
+        gate = (valid * alive_row)[:, None, :]  # (B, 1, LANE)
+        rows8 = jnp.concatenate(
+            [
+                (nbr[c][:, None, :] - chan(c)) * gate for c in range(5)
+            ]
+            + [
+                nbr[5][:, None, :] * gate,
+                nbr[6][:, None, :] * gate,
+                gate,
+            ],
+            axis=1,
+        )  # (B, 8, LANE)
+        out_ref[:, pl.ds(pl.multiple_of(slot * 8, 8), 8), :] = rows8
+        return jnp.where(eq, _BIG_PACKED, d2i)
+
+    jax.lax.fori_loop(0, k, slot_body, d2i)
+
+    t_row = chan_flat(7) * alive_row
+    out_ref[:, 8 * k : 8 * k + 1, :] = t_row[:, None, :]
+    pad_rows = out_ref.shape[1] - (8 * k + 1)
+    if pad_rows:
+        out_ref[:, 8 * k + 1 :, :] = jnp.zeros((B, pad_rows, LANE), jnp.float32)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("n_agents", "k", "block_envs", "interpret")
+    jax.jit,
+    static_argnames=("n_agents", "k", "block_envs", "interpret", "variant"),
 )
 def knn_observation(
     loc_x: jnp.ndarray,  # (E, N) world-unit positions
@@ -133,10 +224,15 @@ def knn_observation(
     t_norm: jnp.ndarray,  # (E,)
     n_agents: int,
     k: int,
-    block_envs: int = 2,
+    block_envs: int = 8,
     interpret: bool = False,
+    variant: str = "packed",
 ) -> jnp.ndarray:
-    """Batched fused kNN observation: returns (E, N, 8*k + 1) float32."""
+    """Batched fused kNN observation: returns (E, N, 8*k + 1) float32.
+
+    ``variant='packed'`` (default) is the packed-argmin kernel;
+    ``'onehot'`` keeps the original masked-reduction kernel for A/B
+    comparison."""
     E, N = loc_x.shape
     assert N == n_agents and n_agents <= LANE
     obs_dim = 8 * k + 1
@@ -173,7 +269,11 @@ def knn_observation(
     Ep = E + pad_e
 
     obs_rows_pad = ((obs_dim + 7) // 8) * 8  # sublane multiple
-    kernel = functools.partial(_knn_obs_kernel, n_agents=n_agents, k=k)
+    assert variant in ("packed", "onehot")
+    kernel_fn = (
+        _knn_obs_kernel_v2 if variant == "packed" else _knn_obs_kernel
+    )
+    kernel = functools.partial(kernel_fn, n_agents=n_agents, k=k)
     out = pl.pallas_call(
         kernel,
         grid=(Ep // B,),

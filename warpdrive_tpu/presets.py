@@ -55,7 +55,8 @@ FLAGSHIP_ENV_KWARGS = dict(
 
 
 def build_flagship(num_envs: int = 64, fc_dims=(256, 256), seed: int = 0,
-                   knn_algorithm: str | None = None):
+                   knn_algorithm: str | None = None,
+                   knn_select: str | None = None):
     """
     Build the flagship TagContinuous system.
 
@@ -69,8 +70,24 @@ def build_flagship(num_envs: int = 64, fc_dims=(256, 256), seed: int = 0,
 
     register_all_envs()
     kwargs = dict(FLAGSHIP_ENV_KWARGS)
+    # seed the ENV too: tagger placement / starting layout are drawn at
+    # construction (RandomState(seed)); without this, two build_flagship
+    # calls with the same `seed` produce different tagger id sets, so
+    # observations (the neighbor type channel) differ between builds even
+    # from identical physical states
+    kwargs.setdefault("seed", seed)
+    # kNN algorithm default for the flagship: "packed" — the packed-index
+    # monotonic ladder, TPU-verified 630K env-steps/s env-only vs 240K for
+    # the exact "passes" rewrite loop (artifacts/round2/tpu_verify_packed
+    # .log); on a real rolled state it differs from exact selection in
+    # 3/67200 slots (quantized near-tie index tie-breaks,
+    # artifacts/round2/tpu_knn_tie_diag2.log) — immaterial for RL rollouts;
+    # pass knn_algorithm="passes"/"ladder" for bit-exact selection
+    kwargs.setdefault("knn_algorithm", "packed")
     if knn_algorithm is not None:
         kwargs["knn_algorithm"] = knn_algorithm
+    if knn_select is not None:
+        kwargs["knn_select"] = knn_select
     env = TagContinuous(**kwargs)
     engine = EnvEngine(env_obj=env, num_envs=num_envs, seed=seed)
 

@@ -898,11 +898,15 @@ class TrainerBase:
         def timeit(fn, *args):
             out = fn(*args)  # compile + warm up
             jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
-            t0 = time.time()
+            # best-of-repeats: robust to load spikes on shared machines
+            # (a mean lets one preempted repeat distort the breakdown)
+            best = float("inf")
             for _ in range(repeats):
+                t0 = time.time()
                 out = fn(*args)
-            jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
-            return (time.time() - t0) * 1000 / repeats
+                jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+                best = min(best, time.time() - t0)
+            return best * 1000
 
         # no donation: the timing loop reuses the same carry buffers
         carry = jax.tree_util.tree_map(jnp.copy, self._carry)
