@@ -895,13 +895,20 @@ class TrainerBase:
         assert self._iteration_fn is not None and self._carry is not None
         steps_per_iter = self.training_batch_size_per_env * self.num_envs
 
-        def timeit(fn, *args):
-            out = fn(*args)  # compile + warm up
+        # Every repeat must be a UNIQUE (program, inputs) execution: some
+        # TPU runtimes memoize repeated identical executions (observed on
+        # the tunneled deployment here: after ~16 identical calls the
+        # "computation" returns in ~0.1 ms with cached results), which
+        # silently turns a replay-style timing loop into a cache benchmark.
+        # The iteration is timed by CHAINING its output carry into the next
+        # repeat (what train() actually does); the rollout by drawing a
+        # fresh rng per repeat.  Best-of-repeats: robust to load spikes.
+        def timeit(fn, first_args, next_args):
+            out = fn(*first_args)  # compile + warm up
             jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
-            # best-of-repeats: robust to load spikes on shared machines
-            # (a mean lets one preempted repeat distort the breakdown)
             best = float("inf")
             for _ in range(repeats):
+                args = next_args(out)
                 t0 = time.time()
                 out = fn(*args)
                 jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
@@ -910,13 +917,16 @@ class TrainerBase:
 
         # no donation: the timing loop reuses the same carry buffers
         carry = jax.tree_util.tree_map(jnp.copy, self._carry)
+        t_arg = jnp.asarray(0.0, jnp.float32)
         iter_ms = timeit(
             jax.jit(self._build_iteration_fn()),
-            carry,
-            jnp.asarray(0.0, jnp.float32),
+            (carry, t_arg),
+            lambda out: (out[0], t_arg),  # chain the returned carry
         )
         rollout_ms = timeit(
-            jax.jit(self._build_rollout_profile_fn()), carry, self._next_rng()
+            jax.jit(self._build_rollout_profile_fn()),
+            (carry, self._next_rng()),
+            lambda out: (carry, self._next_rng()),  # fresh key per repeat
         )
         update_ms = max(iter_ms - rollout_ms, 0.0)
 
