@@ -234,6 +234,70 @@ def main():
     except Exception as exc:
         print(f"[bench] training stage failed: {exc}", file=sys.stderr, flush=True)
 
+    # flagship training throughput: the FULL two-policy adversarial A2C
+    # iteration on TagContinuous at the reference's own config scale
+    # (tag_continuous.yaml: 100 envs, 500-step episodes, 5 taggers + 100
+    # runners) — rollout with packed-kNN observations + both policy updates
+    # in one donated-carry program
+    try:
+        print("[bench] compiling + timing flagship training iteration...",
+              file=sys.stderr, flush=True)
+        from warpdrive_tpu.envs.engine import EnvEngine as _EE
+        from warpdrive_tpu.envs.tag_continuous import TpuTagContinuous
+        from warpdrive_tpu.presets import FLAGSHIP_ENV_KWARGS
+        from warpdrive_tpu.training.trainer_a2c import TrainerA2C as _TA2C
+
+        f_envs = 100 if on_tpu else 8
+        T_f = 500 if on_tpu else 20
+        fenv = TpuTagContinuous(
+            **dict(FLAGSHIP_ENV_KWARGS, seed=274880,
+                   knn_algorithm="packed"))
+        fengine = _EE(env_obj=fenv, num_envs=f_envs, seed=31)
+        pmap = {
+            "tagger": [i for i in range(fenv.num_agents)
+                       if fenv.agent_type[i] == 1],
+            "runner": [i for i in range(fenv.num_agents)
+                       if fenv.agent_type[i] == 0],
+        }
+        fpol = {"to_train": True, "algorithm": "A2C", "vf_loss_coeff": 1,
+                "entropy_coeff": 0.05, "clip_grad_norm": True,
+                "max_grad_norm": 0.5, "gamma": 0.98, "lr": 0.001,
+                "model": {"type": "fully_connected",
+                          "fc_dims": [256, 256]}}
+        fcfg = {
+            "name": "bench_flagship_train",
+            "env": {},
+            "trainer": {"num_envs": f_envs,
+                        "num_episodes": 4 * f_envs,
+                        "train_batch_size": T_f * f_envs, "seed": 1},
+            "policy": {"runner": dict(fpol, lr=0.005),
+                       "tagger": dict(fpol)},
+            "saving": {"metrics_log_freq": 10**9,
+                       "model_params_save_freq": 10**9,
+                       "basedir": "/tmp", "name": "bench_f", "tag": "t"},
+        }
+        ftrainer = _TA2C(env_wrapper=fengine, config=fcfg,
+                         policy_tag_to_agent_id_map=pmap, verbose=False)
+        fprof = ftrainer.profile_phases(repeats=3)
+        print(
+            json.dumps(
+                {
+                    "metric":
+                        "tag_continuous_training_env_steps_per_sec",
+                    "value": round(fprof["steps_per_sec"]),
+                    "unit": "env_steps/s",
+                    "rollout_ms": round(fprof["rollout_ms"], 2),
+                    "update_ms": round(fprof["update_ms"], 2),
+                    "num_envs": f_envs,
+                    "platform": platform,
+                }
+            ),
+            flush=True,
+        )
+    except Exception as exc:
+        print(f"[bench] flagship training stage failed: {exc}",
+              file=sys.stderr, flush=True)
+
 
 if __name__ == "__main__":
     main()
