@@ -145,3 +145,35 @@ def test_use_evaluator_logs_test_metrics(tmp_path):
     assert "Mean episodic reward (test)" in metrics
     assert "Mean episodic steps (test)" in metrics
     assert 0 < metrics["Mean episodic steps (test)"] <= 100
+
+
+def test_remat_update_is_numerically_exact(tmp_path):
+    """policy.remat=True recomputes update activations (jax.checkpoint)
+    instead of storing the (T, E, N, hidden) batch — it must not change
+    the training trajectory at all (checkpointing is exact)."""
+    import jax
+    import jax.numpy as jnp
+
+    params = {}
+    for remat in (False, True):
+        cfg = load_run_config("single_cartpole")
+        cfg["trainer"].update(
+            {"num_envs": 10, "train_batch_size": 500, "num_episodes": 100,
+             "seed": 9}
+        )
+        cfg["env"].update({"episode_length": 100, "reset_pool_size": 0,
+                           "seed": 6})
+        cfg["policy"]["shared"]["remat"] = remat
+        cfg["saving"]["metrics_log_freq"] = 10_000
+        cfg["saving"]["model_params_save_freq"] = 10_000
+        trainer = setup_trainer_and_train(
+            cfg, verbose=False,
+            results_dir=str(tmp_path / f"results_{remat}"),
+        )
+        params[remat] = jax.device_get(trainer._current_params("shared"))
+
+    flat_a = jax.tree_util.tree_leaves(params[False])
+    flat_b = jax.tree_util.tree_leaves(params[True])
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -57,6 +57,7 @@ class TrainerA2C(TrainerBase):
         # return recursion stays exact (standard PPO minibatching; beyond
         # reference parity)
         self.ppo_num_minibatches = {}
+        self.policy_remat = {}
 
         init_rng = self._next_rng()
         self.engine.reset_all_envs()  # builds the initial state
@@ -113,6 +114,12 @@ class TrainerA2C(TrainerBase):
             self.ppo_num_minibatches[tag] = int(
                 policy_cfg.get("num_minibatches", 1)
             )
+            # remat: recompute policy activations in the update's backward
+            # pass instead of storing them for the whole (T, E, N) batch —
+            # the stored hidden layers are the HBM peak of an A2C update
+            # (e.g. 500x400x100x256 f32 = 20 GB, an OOM on a 16 GB chip);
+            # numerically exact, costs ~1 extra forward
+            self.policy_remat[tag] = bool(policy_cfg.get("remat", False))
             assert self.num_envs % self.ppo_num_minibatches[tag] == 0, (
                 "num_minibatches must divide num_envs (env-axis slicing)"
             )
@@ -160,11 +167,18 @@ class TrainerA2C(TrainerBase):
         if self._carry is not None:
             self._carry["params"] = dict(self.params)
 
-    def _policy_forward(self, tag, params, obs_flat, action_mask=None):
+    def _policy_forward(self, tag, params, obs_flat, action_mask=None,
+                        remat=False):
         """Model forward; ``action_mask`` (1 keep / 0 forbid, concatenated
         over action components — reference ``model_base.py:203-213``) drives
-        masked logits when the env exposes an ``action_mask`` state array."""
-        return self.models[tag].apply(params, obs_flat, action_mask=action_mask)
+        masked logits when the env exposes an ``action_mask`` state array.
+        ``remat=True`` (loss paths only) wraps the apply in
+        ``jax.checkpoint`` so the backward pass recomputes activations
+        instead of storing them for the whole batch."""
+        apply = self.models[tag].apply
+        if remat:
+            apply = jax.checkpoint(apply)
+        return apply(params, obs_flat, action_mask=action_mask)
 
     # _gather_policy_mask / _policy_obs_and_mask live in TrainerBase.
 
@@ -326,7 +340,8 @@ class TrainerA2C(TrainerBase):
                             rew_b=rew_b, done_b=done_b, dk=dk, algo=algo,
                             mask_b=mask_b):
                     logits_list, values = self._policy_forward(
-                        tag, p, obs_b, action_mask=mask_b
+                        tag, p, obs_b, action_mask=mask_b,
+                        remat=self.policy_remat.get(tag, False),
                     )
                     return algo.compute_loss_and_metrics(
                         timestep,
@@ -399,6 +414,7 @@ class TrainerA2C(TrainerBase):
                             logits_list, values = self._policy_forward(
                                 tag, p, take(obs_b),
                                 action_mask=take(mask_b),
+                                remat=self.policy_remat.get(tag, False),
                             )
                             return algo.compute_loss_and_metrics(
                                 timestep,
