@@ -177,3 +177,36 @@ def test_pallas_observe_batch_wiring():
         np.asarray(eng_ref.observe(state)),
         rtol=1e-5, atol=1e-5,
     )
+
+
+@pytest.mark.parametrize("algo", ["ladder", "packed"])
+def test_knn_algorithm_beyond_pallas_lane_limit(algo):
+    """The XLA kNN paths must keep working past the Pallas kernel's
+    128-lane cap (reference supports up to 1024 agents/env): 150 agents,
+    observation equality vs the k-round argmin baseline on one state."""
+    import numpy as np
+
+    import jax
+
+    from warpdrive_tpu.envs.engine import EnvEngine
+    from warpdrive_tpu.envs.tag_continuous import TpuTagContinuous
+
+    kwargs = dict(
+        num_taggers=10, num_runners=140, grid_length=15.0,
+        episode_length=10, use_full_observation=False,
+        num_other_agents_observed=8, seed=11,
+        runner_exits_game_after_tagged=True, tagging_distance=0.1,
+    )
+    eng_a = EnvEngine(env_obj=TpuTagContinuous(**kwargs), num_envs=2, seed=3)
+    eng_b = EnvEngine(
+        env_obj=TpuTagContinuous(knn_algorithm=algo, **kwargs),
+        num_envs=2, seed=3,
+    )
+    state = dict(eng_a.state)
+    state["loc_x"] = jax.random.uniform(
+        jax.random.PRNGKey(2), state["loc_x"].shape) * 15.0
+    state["loc_y"] = jax.random.uniform(
+        jax.random.PRNGKey(3), state["loc_y"].shape) * 15.0
+    obs_a = np.asarray(eng_a.observe(state))
+    obs_b = np.asarray(eng_b.observe(state))
+    np.testing.assert_allclose(obs_a, obs_b, rtol=1e-6, atol=1e-6)
