@@ -118,3 +118,30 @@ def test_pendulum_ddpg_checkpoint_roundtrip(tmp_path):
             jax.tree_util.tree_leaves(trainer._current_params("shared")[net]),
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_ddpg_remat_update_is_numerically_exact(tmp_path):
+    """policy.remat=True (jax.checkpoint around actor/critic applies in the
+    replay update) must not change the training trajectory at all."""
+    import jax
+
+    params = {}
+    for remat in (False, True):
+        cfg = _small_pendulum_cfg()
+        cfg["trainer"]["num_episodes"] = 200  # 4 iterations
+        cfg["policy"]["shared"]["remat"] = remat
+        cfg["saving"]["metrics_log_freq"] = 10_000
+        trainer = setup_trainer_and_train(
+            cfg, verbose=False,
+            results_dir=str(tmp_path / f"results_{remat}"),
+        )
+        params[remat] = jax.device_get(
+            {net: trainer._carry[net]["shared"]
+             for net in ("actor", "critic")}
+        )
+
+    flat_a = jax.tree_util.tree_leaves(params[False])
+    flat_b = jax.tree_util.tree_leaves(params[True])
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -73,6 +73,7 @@ class TrainerDDPG(TrainerBase):
         self.actor_optimizers = {}
         self.critic_optimizers = {}
         self.tau = {}
+        self.policy_remat = {}
         self._num_action_dims = {}
 
         # replay window: T fresh rows per iteration + n_step - 1 history rows
@@ -139,6 +140,10 @@ class TrainerDDPG(TrainerBase):
                 n_step=self.n_step,
             )
             self.tau[tag] = float(policy_cfg.get("tau", 0.05))
+            # remat: recompute actor/critic activations in the update's
+            # backward pass instead of storing them for the whole replay
+            # window batch (same memory lever as TrainerA2C; exact)
+            self.policy_remat[tag] = bool(policy_cfg.get("remat", False))
 
             lr_cfg = policy_cfg.get("lr", 1e-3)
             if isinstance(lr_cfg, dict):
@@ -446,6 +451,15 @@ class TrainerDDPG(TrainerBase):
                 act_b = new_buf[tag]["actions"]
                 rew_b = new_buf[tag]["rewards"]
 
+                # remat (policy.remat): recompute activations in backward
+                # instead of storing them for the whole window batch
+                if self.policy_remat.get(tag, False):
+                    a_apply = jax.checkpoint(actor_m.apply)
+                    c_apply = jax.checkpoint(critic_m.apply)
+                else:
+                    a_apply = actor_m.apply
+                    c_apply = critic_m.apply
+
                 # target next-Q: Q'(s_{t+1}, pi'(s_{t+1})), length cap-1
                 # (reference ``trainer_ddpg.py:349-356``)
                 t_mu = actor_m.apply(nets["target_actor"][tag], obs_b)
@@ -455,8 +469,8 @@ class TrainerDDPG(TrainerBase):
                 next_q = jax.lax.stop_gradient(next_q)
 
                 def critic_loss_fn(cp, obs_b=obs_b, act_b=act_b, rew_b=rew_b,
-                                   next_q=next_q, critic_m=critic_m, algo=algo):
-                    q = critic_m.apply(cp, obs_b, act_b)
+                                   next_q=next_q, c_apply=c_apply, algo=algo):
+                    q = c_apply(cp, obs_b, act_b)
                     actor_loss, critic_loss, metrics = (
                         algo.compute_loss_and_metrics(
                             timestep, act_b, rew_b, done_buf,
@@ -466,10 +480,10 @@ class TrainerDDPG(TrainerBase):
                     return critic_loss, metrics
 
                 def actor_loss_fn(ap, cp, obs_b=obs_b,
-                                  actor_m=actor_m, critic_m=critic_m,
+                                  a_apply=a_apply, c_apply=c_apply,
                                   algo=algo):
-                    mu = actor_m.apply(ap, obs_b)
-                    j = critic_m.apply(cp, obs_b, mu)
+                    mu = a_apply(ap, obs_b)
+                    j = c_apply(cp, obs_b, mu)
                     valid = j.shape[0] - algo.n_step + 1
                     from warpdrive_tpu.algos.returns import (
                         normalize_across_env_agents,
