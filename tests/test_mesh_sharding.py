@@ -285,3 +285,36 @@ def test_sharded_separate_placeholders_training_matches_unsharded(tmp_path):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5
             )
+
+
+def test_sharded_flagship_packed_observe_matches_unsharded():
+    """The flagship TagContinuous packed-kNN observe + split-step physics
+    must be value-identical when the env axis is sharded over the 8-device
+    mesh (the bitwise integer-min selection cannot depend on sharding)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from warpdrive_tpu.envs.engine import EnvEngine
+    from warpdrive_tpu.envs.tag_continuous import TpuTagContinuous
+    from warpdrive_tpu.parallel.mesh import apply_env_sharding
+
+    kwargs = dict(
+        num_taggers=2, num_runners=14, grid_length=6.0, episode_length=20,
+        use_full_observation=False, num_other_agents_observed=5, seed=12,
+        knn_algorithm="packed",
+    )
+    eng_a = EnvEngine(env_obj=TpuTagContinuous(**kwargs), num_envs=16, seed=4)
+    eng_b = EnvEngine(env_obj=TpuTagContinuous(**kwargs), num_envs=16, seed=4)
+    eng_b = apply_env_sharding(eng_b, num_devices=8)
+
+    key = jax.random.PRNGKey(7)
+    actions = jax.random.randint(
+        key, (16, eng_a.n_agents, 2), 0, 11, dtype=jnp.int32
+    )
+
+    st_a = eng_a.step_physics(dict(eng_a.state), actions)
+    st_b = eng_b.step_physics(dict(eng_b.state), actions)
+    obs_a = np.asarray(eng_a.observe(st_a))
+    obs_b = np.asarray(eng_b.observe(st_b))
+    np.testing.assert_array_equal(obs_a, obs_b)
