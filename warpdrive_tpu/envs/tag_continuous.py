@@ -770,12 +770,17 @@ class TpuTagContinuous(TagContinuous, TpuEnvironmentContext):
                 # O(N*k) work instead of O(N*k*N), IF XLA lowers this
                 # batched small-table gather vectorized on TPU (A/B'd on
                 # hardware; large data-dependent gathers lower serially).
+                # Only 6 of the 7 channels need selecting: dead candidates
+                # are distance-masked out, so a VALID slot's neighbor is
+                # always alive — its still_in_the_game entry IS the valid
+                # flag (one fewer (N,k,N) reduction pass).
+                src6 = src8[:6]  # feats(5) + type
                 if self.knn_select == "gather":
                     nbr = jnp.take_along_axis(
-                        src8[None, :, :],  # (1, 7, N)
+                        src6[None, :, :],  # (1, 6, N)
                         am_all.reshape(1, 1, N * k),
                         axis=2,
-                    ).reshape(7, N, k).transpose(1, 2, 0)  # (N, k, 7)
+                    ).reshape(6, N, k).transpose(1, 2, 0)  # (N, k, 6)
                 else:
                     onehot_b = (
                         col_j[:, None, :] == am_all[:, :, None]
@@ -783,17 +788,18 @@ class TpuTagContinuous(TagContinuous, TpuEnvironmentContext):
                     nbr = jnp.sum(
                         jnp.where(
                             onehot_b[:, :, None, :],
-                            src8[None, None, :, :],
+                            src6[None, None, :, :],
                             0.0,
                         ),
                         axis=3,
-                    )  # (N, k, 7)
+                    )  # (N, k, 6)
                 v = valid_all[:, :, None]
                 slot_blk = jnp.concatenate(
                     [
                         (nbr[:, :, :5] - feats.T[:, None, :]) * v,
-                        nbr[:, :, 5:7] * v,
-                        v,
+                        nbr[:, :, 5:6] * v,  # neighbor type
+                        v,  # neighbor still-in-game == valid
+                        v,  # valid flag
                     ],
                     axis=2,
                 )  # (N, k, 8)
