@@ -109,14 +109,16 @@ def _knn_obs_kernel(xy_ref, src_ref, out_ref, *, n_agents: int, k: int):
 
         onehot = (col_j == am[:, :, None]).astype(jnp.float32)  # (B,L,L)
         # one-hot select per channel: masked reduction over the lane axis
-        # (gather-free; the selector is exact so no precision concerns)
-        nbr = [jnp.sum(onehot * chan(c), axis=2) for c in range(7)]
+        # (gather-free; the selector is exact so no precision concerns).
+        # Channel 6 (still_in_the_game) needs no selection: dead candidates
+        # are distance-masked, so a valid neighbor's still flag == gate.
+        nbr = [jnp.sum(onehot * chan(c), axis=2) for c in range(6)]
         gate = valid * alive_row
         rows8 = jnp.concatenate(
             [((nbr[c] - chan_flat(c)) * gate)[:, None, :] for c in range(5)]
             + [
                 (nbr[5] * gate)[:, None, :],
-                (nbr[6] * gate)[:, None, :],
+                gate[:, None, :],
                 gate[:, None, :],
             ],
             axis=1,
@@ -183,9 +185,10 @@ def _knn_obs_kernel_v2(xy_ref, src_ref, out_ref, *, n_agents: int, k: int):
         valid = (m < _VALID_MAX).astype(jnp.float32)  # (B, LANE)
         eq = d2i == m2  # exact one-hot: packed entries are unique
 
-        # one-hot select per channel: masked reduction over the lane axis
+        # one-hot select per channel: masked reduction over the lane axis.
+        # Channel 6 (still) needs no selection — valid neighbor => alive.
         nbr = [
-            jnp.sum(jnp.where(eq, chan(c), 0.0), axis=2) for c in range(7)
+            jnp.sum(jnp.where(eq, chan(c), 0.0), axis=2) for c in range(6)
         ]
         gate = (valid * alive_row)[:, None, :]  # (B, 1, LANE)
         rows8 = jnp.concatenate(
@@ -194,7 +197,7 @@ def _knn_obs_kernel_v2(xy_ref, src_ref, out_ref, *, n_agents: int, k: int):
             ]
             + [
                 nbr[5][:, None, :] * gate,
-                nbr[6][:, None, :] * gate,
+                gate,
                 gate,
             ],
             axis=1,
