@@ -360,10 +360,14 @@ class TrainerA2C(TrainerBase):
                 lr_t = self.lr_schedules[tag].value_at(timestep)
                 p_cur = params_all[tag]
                 opt_cur = opt_all[tag]
-                if num_epochs > 1 or num_mb > 1:
+                from warpdrive_tpu.algos.policygradient import PPO as _PPO
+
+                if (num_epochs > 1 or num_mb > 1) and isinstance(algo, _PPO):
                     # multi-epoch PPO (beyond reference parity): fix the
                     # behavior-policy log-probs before the first update so
-                    # the clipped ratio is meaningful across epochs
+                    # the clipped ratio is meaningful across epochs. A2C
+                    # never reads old_log_prob, so skip this full-batch
+                    # forward when only minibatching an A2C update.
                     from warpdrive_tpu.algos.policygradient import (
                         _logp_and_entropy,
                     )
@@ -387,56 +391,74 @@ class TrainerA2C(TrainerBase):
 
                 E = rew_b.shape[1]
                 mb_size = E // num_mb
-                for epoch in range(num_epochs):
-                    if num_mb == 1:
-                        grads, metrics = jax.grad(loss_fn, has_aux=True)(
-                            p_cur, old_lp
-                        )
-                        p_cur, opt_cur = apply_grads(p_cur, opt_cur, grads)
-                        continue
+                if num_epochs == 1 and num_mb == 1:
+                    grads, metrics = jax.grad(loss_fn, has_aux=True)(
+                        p_cur, old_lp
+                    )
+                    metrics["Gradient norm"] = optax.global_norm(grads)
+                    p_cur, opt_cur = apply_grads(p_cur, opt_cur, grads)
+                else:
                     # env-axis minibatches: per-env returns are computed
                     # inside the loss on each slice and are EXACT (the
                     # time recursion never crosses envs); samples reshuffle
-                    # every epoch
-                    dk_e = jax.random.fold_in(dk, epoch)
-                    perm = jax.random.permutation(dk_e, E)
-                    for m in range(num_mb):
-                        idx = jax.lax.dynamic_slice_in_dim(
-                            perm, m * mb_size, mb_size
+                    # every epoch. The epoch x minibatch sweep is ONE
+                    # lax.scan over a precomputed index table, so the
+                    # compiled program holds a single minibatch body no
+                    # matter how many passes run (large-program AOT
+                    # compiles at flagship scale stay small).
+                    epoch_ids = jnp.arange(num_epochs, dtype=jnp.uint32)
+                    epoch_keys = jax.vmap(
+                        lambda e: jax.random.fold_in(dk, e)
+                    )(epoch_ids)
+                    perms = jax.vmap(
+                        lambda kk: jax.random.permutation(kk, E)
+                    )(epoch_keys)  # (num_epochs, E)
+                    idx_tab = perms.reshape(num_epochs * num_mb, mb_size)
+                    dk_seq = jnp.repeat(epoch_keys, num_mb, axis=0)
+
+                    def mb_loss(p, old_lp_full, idx, dk_e, tag=tag,
+                                algo=algo, mask_b=mask_b):
+                        take = lambda x: (
+                            None if x is None
+                            else jnp.take(x, idx, axis=1)
+                        )
+                        logits_list, values = self._policy_forward(
+                            tag, p, take(obs_b),
+                            action_mask=take(mask_b),
+                            remat=self.policy_remat.get(tag, False),
+                        )
+                        return algo.compute_loss_and_metrics(
+                            timestep,
+                            take(act_b),
+                            take(rew_b),
+                            take(done_b),
+                            logits_list,
+                            values,
+                            negative_positive_ratio=self.neg_pos_env_ratio,
+                            downsample_key=dk_e,
+                            old_log_prob=take(old_lp_full),
                         )
 
-                        def mb_loss(p, old_lp_full, idx=idx, tag=tag,
-                                    algo=algo, mask_b=mask_b):
-                            take = lambda x: (
-                                None if x is None
-                                else jnp.take(x, idx, axis=1)
-                            )
-                            logits_list, values = self._policy_forward(
-                                tag, p, take(obs_b),
-                                action_mask=take(mask_b),
-                                remat=self.policy_remat.get(tag, False),
-                            )
-                            return algo.compute_loss_and_metrics(
-                                timestep,
-                                take(act_b),
-                                take(rew_b),
-                                take(done_b),
-                                logits_list,
-                                values,
-                                negative_positive_ratio=self.neg_pos_env_ratio,
-                                downsample_key=dk_e,
-                                old_log_prob=take(old_lp_full),
-                            )
-
+                    def mb_step(c, inp):
+                        p_c, opt_c = c
+                        idx, dk_e = inp
                         grads, metrics = jax.grad(mb_loss, has_aux=True)(
-                            p_cur, old_lp
+                            p_c, old_lp, idx, dk_e
                         )
-                        p_cur, opt_cur = apply_grads(p_cur, opt_cur, grads)
+                        metrics["Gradient norm"] = optax.global_norm(grads)
+                        p_c, opt_c = apply_grads(p_c, opt_c, grads)
+                        return (p_c, opt_c), metrics
+
+                    (p_cur, opt_cur), metrics_seq = jax.lax.scan(
+                        mb_step, (p_cur, opt_cur), (idx_tab, dk_seq)
+                    )
+                    metrics = jax.tree_util.tree_map(
+                        lambda x: x[-1], metrics_seq
+                    )
                 new_params[tag] = p_cur
                 new_opt[tag] = opt_cur
                 metrics["Current timestep"] = timestep
                 metrics["Learning rate"] = lr_t
-                metrics["Gradient norm"] = optax.global_norm(grads)
                 all_metrics[tag] = metrics
             return new_params, new_opt, all_metrics
 
