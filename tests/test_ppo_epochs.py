@@ -105,3 +105,38 @@ def test_ppo_minibatches(tmp_path):
     assert any(
         not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(l1, l2)
     )
+
+
+def test_minibatch_contiguous_slicing(tmp_path):
+    """shuffle_minibatches=False (contiguous dynamic_slice env blocks, the
+    TPU-fast path for single-epoch A2C) trains to finite metrics and moves
+    the params; A2C defaults to it (num_epochs==1), PPO defaults to the
+    shuffled gather."""
+    import json
+
+    import numpy as np
+
+    from warpdrive_tpu.training.scripts.train import setup_trainer_and_train
+    from warpdrive_tpu.utils.config import load_run_config
+
+    cfg = load_run_config("single_cartpole")
+    cfg["trainer"].update({"num_envs": 8, "train_batch_size": 160,
+                           "num_episodes": 160, "seed": 21})
+    cfg["env"].update({"episode_length": 50, "reset_pool_size": 0})
+    cfg["policy"]["shared"].update({"algorithm": "A2C",
+                                    "num_minibatches": 4})
+    cfg["saving"]["metrics_log_freq"] = 1
+    t = setup_trainer_and_train(
+        cfg, verbose=False, results_dir=str(tmp_path / "contig")
+    )
+    assert t.mb_shuffle["shared"] is False  # A2C single-epoch default
+    lines = (tmp_path / "contig" / "results.json").read_text().splitlines()
+    m = json.loads(lines[-1])["metrics"]["shared"]
+    assert np.isfinite(m["Total loss"]) and np.isfinite(m["Policy loss"])
+
+    # PPO multi-epoch keeps the shuffle unless told otherwise
+    cfg["policy"]["shared"].update({"algorithm": "PPO", "num_epochs": 2})
+    t2 = setup_trainer_and_train(
+        cfg, verbose=False, results_dir=str(tmp_path / "ppo")
+    )
+    assert t2.mb_shuffle["shared"] is True

@@ -58,6 +58,7 @@ class TrainerA2C(TrainerBase):
         # reference parity)
         self.ppo_num_minibatches = {}
         self.policy_remat = {}
+        self.mb_shuffle = {}
 
         init_rng = self._next_rng()
         self.engine.reset_all_envs()  # builds the initial state
@@ -120,6 +121,17 @@ class TrainerA2C(TrainerBase):
             # (e.g. 500x400x100x256 f32 = 20 GB, an OOM on a 16 GB chip);
             # numerically exact, costs ~1 extra forward
             self.policy_remat[tag] = bool(policy_cfg.get("remat", False))
+            # shuffle_minibatches=False slices contiguous env blocks with
+            # lax.dynamic_slice instead of a per-minibatch env-axis gather
+            # (jnp.take) — gathers lower poorly on TPU. Env replicas are
+            # iid, so for single-epoch A2C the block split is statistically
+            # equivalent to a shuffled one; multi-epoch PPO keeps the
+            # shuffle by default so minibatch composition varies per epoch.
+            self.mb_shuffle[tag] = bool(
+                policy_cfg.get(
+                    "shuffle_minibatches", self.ppo_num_epochs[tag] > 1
+                )
+            )
             assert self.num_envs % self.ppo_num_minibatches[tag] == 0, (
                 "num_minibatches must divide num_envs (env-axis slicing)"
             )
@@ -406,22 +418,40 @@ class TrainerA2C(TrainerBase):
                     # compiled program holds a single minibatch body no
                     # matter how many passes run (large-program AOT
                     # compiles at flagship scale stay small).
+                    shuffle = self.mb_shuffle.get(tag, True)
                     epoch_ids = jnp.arange(num_epochs, dtype=jnp.uint32)
                     epoch_keys = jax.vmap(
                         lambda e: jax.random.fold_in(dk, e)
                     )(epoch_ids)
-                    perms = jax.vmap(
-                        lambda kk: jax.random.permutation(kk, E)
-                    )(epoch_keys)  # (num_epochs, E)
-                    idx_tab = perms.reshape(num_epochs * num_mb, mb_size)
+                    if shuffle:
+                        perms = jax.vmap(
+                            lambda kk: jax.random.permutation(kk, E)
+                        )(epoch_keys)  # (num_epochs, E)
+                        idx_tab = perms.reshape(num_epochs * num_mb, mb_size)
+                    else:
+                        # contiguous env blocks: idx_tab carries the block
+                        # START offsets; slicing is a dynamic_slice, not a
+                        # gather (TPU gathers on the env axis are slow)
+                        idx_tab = jnp.tile(
+                            jnp.arange(num_mb, dtype=jnp.int32) * mb_size,
+                            (num_epochs,),
+                        )
                     dk_seq = jnp.repeat(epoch_keys, num_mb, axis=0)
 
                     def mb_loss(p, old_lp_full, idx, dk_e, tag=tag,
                                 algo=algo, mask_b=mask_b):
-                        take = lambda x: (
-                            None if x is None
-                            else jnp.take(x, idx, axis=1)
-                        )
+                        if shuffle:
+                            take = lambda x: (
+                                None if x is None
+                                else jnp.take(x, idx, axis=1)
+                            )
+                        else:
+                            take = lambda x: (
+                                None if x is None
+                                else jax.lax.dynamic_slice_in_dim(
+                                    x, idx, mb_size, axis=1
+                                )
+                            )
                         logits_list, values = self._policy_forward(
                             tag, p, take(obs_b),
                             action_mask=take(mask_b),
