@@ -1,0 +1,151 @@
+"""Is the rollout-produced batch LAYOUT what makes the update 2.3x slow?
+
+Same runner-update scan program, three input batches:
+  real     the rollout's own output arrays
+  copied   jnp.copy of each array (fresh default-layout buffers)
+  synth    jax.random arrays of identical shape/dtype
+
+If real is slow and synth fast, the scan-stacked rollout outputs carry a
+pathological physical layout across the jit boundary / into the fused
+iteration. Chained timing throughout.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def main():
+    emit(stage="start", platform=jax.devices()[0].platform)
+
+    import optax
+
+    from warpdrive_tpu.envs.engine import EnvEngine
+    from warpdrive_tpu.envs.tag_continuous import TpuTagContinuous
+    from warpdrive_tpu.presets import FLAGSHIP_ENV_KWARGS
+    from warpdrive_tpu.training.trainer_a2c import TrainerA2C
+
+    T, n_envs = 100, 2000
+    env = TpuTagContinuous(
+        **dict(FLAGSHIP_ENV_KWARGS, seed=274880, knn_algorithm="packed")
+    )
+    engine = EnvEngine(env_obj=env, num_envs=n_envs, seed=31)
+    pmap = {
+        "tagger": [i for i in range(env.num_agents)
+                   if env.agent_type[i] == 1],
+        "runner": [i for i in range(env.num_agents)
+                   if env.agent_type[i] == 0],
+    }
+    pol = {"to_train": True, "algorithm": "A2C", "vf_loss_coeff": 1,
+           "entropy_coeff": 0.05, "clip_grad_norm": True,
+           "max_grad_norm": 0.5, "gamma": 0.98, "lr": 0.001,
+           "remat": False, "num_minibatches": 20,
+           "shuffle_minibatches": False,
+           "model": {"type": "fully_connected", "fc_dims": [256, 256],
+                     "dtype": "bfloat16"}}
+    cfg = {
+        "name": "anat6",
+        "env": {},
+        "trainer": {"num_envs": n_envs, "num_episodes": 4 * n_envs,
+                    "train_batch_size": T * n_envs, "seed": 1,
+                    "batch_dtype": "bfloat16"},
+        "policy": {"runner": dict(pol, lr=0.005), "tagger": dict(pol)},
+        "saving": {"metrics_log_freq": 10**9,
+                   "model_params_save_freq": 10**9,
+                   "basedir": "/tmp", "name": "anat6", "tag": "t"},
+    }
+    tr = TrainerA2C(env_wrapper=engine, config=cfg,
+                    policy_tag_to_agent_id_map=pmap, verbose=False)
+
+    rollout = jax.jit(tr._make_rollout())
+    carry = jax.tree_util.tree_map(jnp.copy, tr._carry)
+    keys = jax.random.split(jax.random.PRNGKey(7), T)
+    _, batch = rollout(
+        carry["params"],
+        (carry["env_state"], carry["ep_acc"], carry["ep_sum"],
+         carry["ep_count"]),
+        keys,
+    )
+    jax.block_until_ready(batch)
+    emit(stage="batch_ready")
+
+    algo = tr.algorithms["runner"]
+    model = tr.models["runner"]
+    tx = tr.optimizers["runner"]
+    E_mb, NMB, A = 100, 20, 100
+    F = batch["obs_runner"].shape[-1]
+    S = T * E_mb * A
+
+    def loss2d(p, obs, act, rew, done):
+        logits, value = model.apply(p, obs.reshape(S, F))
+        logits = [l.reshape(T, E_mb, A, -1) for l in logits]
+        value = value.reshape(T, E_mb, A)
+        loss, _ = algo.compute_loss_and_metrics(
+            jnp.asarray(0.0), act, rew, done, logits, value,
+            downsample_key=jax.random.PRNGKey(1))
+        return loss
+
+    def scan(p, opt, obs, act, rew, done):
+        def step(c, off):
+            p, opt = c
+            sl = lambda x: jax.lax.dynamic_slice_in_dim(x, off, E_mb, axis=1)
+            g = jax.grad(loss2d)(p, sl(obs), sl(act), sl(rew), sl(done))
+            upd_, opt = tx.update(g, opt, p)
+            upd_ = jax.tree_util.tree_map(lambda u: u * 0.005, upd_)
+            p = optax.apply_updates(p, upd_)
+            return (p, opt), 0.0
+
+        offs = jnp.arange(NMB, dtype=jnp.int32) * E_mb
+        (p, opt), _ = jax.lax.scan(step, (p, opt), offs)
+        return p, opt
+
+    j = jax.jit(scan)
+
+    real = (batch["obs_runner"], batch["actions_runner"],
+            batch["rewards_runner"], batch["done"])
+    copied = jax.tree_util.tree_map(jnp.copy, real)
+    jax.block_until_ready(copied)
+    kk = jax.random.PRNGKey(11)
+    k1, k2, k3 = jax.random.split(kk, 3)
+    synth = (
+        jax.random.normal(k1, (T, n_envs, A, F), jnp.bfloat16),
+        jax.random.randint(k2, (T, n_envs, A, 2), 0, 11, jnp.int32),
+        jax.random.normal(k3, (T, n_envs, A), jnp.float32),
+        jnp.zeros((T, n_envs), jnp.int32),
+    )
+    jax.block_until_ready(synth)
+
+    def timeit(data, label, repeats=3):
+        out = j(carry["params"]["runner"], carry["opt"]["runner"], *data)
+        jax.block_until_ready(out)
+        best = float("inf")
+        for r in range(repeats):
+            p2, o2 = out
+            jax.block_until_ready((p2, o2))
+            t0 = time.perf_counter()
+            out = j(p2, o2, *data)
+            float(np.asarray(jax.tree_util.tree_leaves(out[0])[0]
+                             ).ravel()[0])
+            best = min(best, time.perf_counter() - t0)
+        emit(piece=label, ms=round(best * 1000, 2))
+
+    timeit(real, "real_batch")
+    timeit(copied, "copied_batch")
+    timeit(synth, "synth_batch")
+
+    emit(stage="done")
+
+
+if __name__ == "__main__":
+    main()

@@ -158,6 +158,14 @@ class TrainerA2C(TrainerBase):
             self._iteration_fn = jax.jit(
                 self._build_iteration_fn(), donate_argnums=(0,)
             )
+            # the HOT program is metrics-free (plain jax.grad — keeping
+            # even scalar loss outputs blocks XLA's forward-into-backward
+            # fusion, 2.25x slower measured on v5e, see _make_update);
+            # train() runs it on every non-log iteration
+            self._iteration_fn_fast = jax.jit(
+                self._build_iteration_fn(with_metrics=False),
+                donate_argnums=(0,),
+            )
         self._act_fn = jax.jit(self._build_act_fn(), static_argnames=("use_argmax",))
 
     # ------------------------------------------------------------ program
@@ -190,6 +198,23 @@ class TrainerA2C(TrainerBase):
         apply = self.models[tag].apply
         if remat:
             apply = jax.checkpoint(apply)
+        # Collapse all leading dims to ONE batch dim before the apply:
+        # XLA lowers a dot_general with several leading dims (T, E, A, F)
+        # measurably worse than the equivalent 2-D matmul — on a v5e the
+        # flagship update program ran 2.5x slower and accessed ~30% more
+        # bytes in the 4-D form (artifacts/round2/tpu_update_anatomy5.log).
+        lead = obs_flat.shape[:-1]
+        if len(lead) > 1:
+            obs2 = obs_flat.reshape((-1, obs_flat.shape[-1]))
+            mask2 = (
+                None if action_mask is None
+                else action_mask.reshape((-1, action_mask.shape[-1]))
+            )
+            logits, value = apply(params, obs2, action_mask=mask2)
+            logits = [l.reshape(lead + (l.shape[-1],)) for l in logits]
+            if value is not None:
+                value = value.reshape(lead)
+            return logits, value
         return apply(params, obs_flat, action_mask=action_mask)
 
     # _gather_policy_mask / _policy_obs_and_mask live in TrainerBase.
@@ -327,11 +352,20 @@ class TrainerA2C(TrainerBase):
 
         return run
 
-    def _make_update(self):
+    def _make_update(self, with_metrics=True):
         """The per-policy loss/optimizer update as a standalone jittable,
         shared by the fused iteration program and the eager CPU-backend
         path: ``update(params_all, opt_all, batch, timestep, k_down) ->
-        (new_params, new_opt, metrics)``."""
+        (new_params, new_opt, metrics)``.
+
+        ``with_metrics=False`` compiles the HOT form: plain ``jax.grad``
+        with NO value/aux outputs and an empty metrics dict. Keeping even
+        the scalar loss as a program output forces XLA to materialize the
+        forward pass separately from the backward — measured 2.25x slower
+        on a v5e (853 vs 380 ms for the flagship runner update,
+        artifacts/round2/tpu_update_anatomy7.log). The trainer runs the
+        metrics-free program every iteration and the full-metrics one only
+        at metrics-log points."""
         trained = list(self.policies_to_train)
 
         def update(params_all, opt_all, batch, timestep, k_down):
@@ -404,10 +438,16 @@ class TrainerA2C(TrainerBase):
                 E = rew_b.shape[1]
                 mb_size = E // num_mb
                 if num_epochs == 1 and num_mb == 1:
-                    grads, metrics = jax.grad(loss_fn, has_aux=True)(
-                        p_cur, old_lp
-                    )
-                    metrics["Gradient norm"] = optax.global_norm(grads)
+                    if with_metrics:
+                        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+                            p_cur, old_lp
+                        )
+                        metrics["Gradient norm"] = optax.global_norm(grads)
+                    else:
+                        grads = jax.grad(
+                            lambda p, olp: loss_fn(p, olp)[0]
+                        )(p_cur, old_lp)
+                        metrics = {}
                     p_cur, opt_cur = apply_grads(p_cur, opt_cur, grads)
                 else:
                     # env-axis minibatches: per-env returns are computed
@@ -472,10 +512,18 @@ class TrainerA2C(TrainerBase):
                     def mb_step(c, inp):
                         p_c, opt_c = c
                         idx, dk_e = inp
-                        grads, metrics = jax.grad(mb_loss, has_aux=True)(
-                            p_c, old_lp, idx, dk_e
-                        )
-                        metrics["Gradient norm"] = optax.global_norm(grads)
+                        if with_metrics:
+                            grads, metrics = jax.grad(
+                                mb_loss, has_aux=True
+                            )(p_c, old_lp, idx, dk_e)
+                            metrics["Gradient norm"] = optax.global_norm(
+                                grads
+                            )
+                        else:
+                            grads = jax.grad(
+                                lambda *a: mb_loss(*a)[0]
+                            )(p_c, old_lp, idx, dk_e)
+                            metrics = {}
                         p_c, opt_c = apply_grads(p_c, opt_c, grads)
                         return (p_c, opt_c), metrics
 
@@ -487,17 +535,18 @@ class TrainerA2C(TrainerBase):
                     )
                 new_params[tag] = p_cur
                 new_opt[tag] = opt_cur
-                metrics["Current timestep"] = timestep
-                metrics["Learning rate"] = lr_t
-                all_metrics[tag] = metrics
+                if with_metrics:
+                    metrics["Current timestep"] = timestep
+                    metrics["Learning rate"] = lr_t
+                    all_metrics[tag] = metrics
             return new_params, new_opt, all_metrics
 
         return update
 
-    def _build_iteration_fn(self):
+    def _build_iteration_fn(self, with_metrics=True):
         T = self.training_batch_size_per_env
         rollout = self._make_rollout()
-        update = self._make_update()
+        update = self._make_update(with_metrics=with_metrics)
 
         def iteration(carry, timestep):
             params = carry["params"]
