@@ -184,3 +184,38 @@ def test_remat_update_is_numerically_exact(tmp_path):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
         )
+
+
+def test_fast_program_matches_full(tmp_path):
+    """The metrics-free hot iteration program (run off log points) must
+    produce the same training trajectory as the full-metrics program:
+    identical grads, only the metric outputs dropped.  log_freq=1 forces
+    the full program every iteration; log_freq=10_000 runs the hot program
+    on all but the final iteration."""
+    import jax
+
+    params = {}
+    for log_freq in (1, 10_000):
+        cfg = load_run_config("single_cartpole")
+        cfg["trainer"].update(
+            {"num_envs": 10, "train_batch_size": 500, "num_episodes": 100,
+             "seed": 9}
+        )
+        cfg["env"].update({"episode_length": 100, "reset_pool_size": 0,
+                           "seed": 6})
+        cfg["saving"]["metrics_log_freq"] = log_freq
+        cfg["saving"]["model_params_save_freq"] = 10_000
+        trainer = setup_trainer_and_train(
+            cfg, verbose=False,
+            results_dir=str(tmp_path / f"results_{log_freq}"),
+        )
+        params[log_freq] = jax.device_get(trainer._current_params("shared"))
+
+    flat_a = jax.tree_util.tree_leaves(params[1])
+    flat_b = jax.tree_util.tree_leaves(params[10_000])
+    assert len(flat_a) == len(flat_b)
+    # tolerance: float32 reduction-order rounding only (see the remat test)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+        )

@@ -187,6 +187,12 @@ class TrainerDDPG(TrainerBase):
             self._iteration_fn = jax.jit(
                 self._build_iteration_fn(), donate_argnums=(0,)
             )
+            # metrics-free hot twin for non-log iterations (see
+            # _make_replay_update docstring); train() selects it
+            self._iteration_fn_fast = jax.jit(
+                self._build_iteration_fn(with_metrics=False),
+                donate_argnums=(0,),
+            )
         self._act_fn = jax.jit(
             self._build_act_fn(), static_argnames=("use_argmax",)
         )
@@ -401,12 +407,37 @@ class TrainerDDPG(TrainerBase):
 
         return run
 
-    def _make_replay_update(self):
+    @staticmethod
+    def _flat_apply(apply):
+        """Collapse all leading dims to ONE batch dim around a trailing-
+        feature apply: XLA lowers a dot_general with several leading dims
+        (cap, E, A, F) measurably worse than the equivalent 2-D matmul
+        (2.5x on v5e for the A2C update, tpu_update_anatomy5.log)."""
+
+        def f(p, obs, *rest):
+            lead = obs.shape[:-1]
+            if len(lead) <= 1:
+                return apply(p, obs, *rest)
+            obs2 = obs.reshape((-1, obs.shape[-1]))
+            rest2 = [r.reshape((-1, r.shape[-1])) for r in rest]
+            out = apply(p, obs2, *rest2)
+            return out.reshape(lead + out.shape[1:])
+
+        return f
+
+    def _make_replay_update(self, with_metrics=True):
         """Sliding-window replay append + per-policy DDPG update as a
         standalone jittable, shared by the fused iteration program and the
         eager CPU-backend path: ``replay_update(nets, rows, timestep) ->
         (new_nets, metrics)`` where ``nets`` holds actor/critic/targets/
-        optimizer states and the replay buffers."""
+        optimizer states and the replay buffers.
+
+        ``with_metrics=False`` compiles the HOT form: plain ``jax.grad``
+        with no aux outputs and an empty metrics dict (keeping loss/metric
+        scalars as program outputs blocks XLA's forward-into-backward
+        fusion — 2.25x measured on the A2C update, see
+        ``TrainerA2C._make_update``). ``train()`` runs the hot program on
+        every non-log iteration."""
         T = self.training_batch_size_per_env
         cap = self.buffer_capacity
         policies = list(self.policies)
@@ -454,16 +485,18 @@ class TrainerDDPG(TrainerBase):
                 # remat (policy.remat): recompute activations in backward
                 # instead of storing them for the whole window batch
                 if self.policy_remat.get(tag, False):
-                    a_apply = jax.checkpoint(actor_m.apply)
-                    c_apply = jax.checkpoint(critic_m.apply)
+                    a_apply = self._flat_apply(jax.checkpoint(actor_m.apply))
+                    c_apply = self._flat_apply(jax.checkpoint(critic_m.apply))
                 else:
-                    a_apply = actor_m.apply
-                    c_apply = critic_m.apply
+                    a_apply = self._flat_apply(actor_m.apply)
+                    c_apply = self._flat_apply(critic_m.apply)
+                ta_apply = self._flat_apply(actor_m.apply)
+                tc_apply = self._flat_apply(critic_m.apply)
 
                 # target next-Q: Q'(s_{t+1}, pi'(s_{t+1})), length cap-1
                 # (reference ``trainer_ddpg.py:349-356``)
-                t_mu = actor_m.apply(nets["target_actor"][tag], obs_b)
-                next_q = critic_m.apply(
+                t_mu = ta_apply(nets["target_actor"][tag], obs_b)
+                next_q = tc_apply(
                     nets["target_critic"][tag], obs_b[1:], t_mu[1:]
                 )
                 next_q = jax.lax.stop_gradient(next_q)
@@ -493,16 +526,27 @@ class TrainerDDPG(TrainerBase):
                     )
                     return -norm_j.mean()
 
-                c_grads, metrics = jax.grad(critic_loss_fn, has_aux=True)(
-                    nets["critic"][tag]
-                )
-                (a_loss, a_grads) = jax.value_and_grad(actor_loss_fn)(
-                    nets["actor"][tag], jax.lax.stop_gradient(nets["critic"][tag])
-                )
-                # the critic-side aux metrics computed "Actor loss" from
-                # Q(s, a); report the true -mean Q(s, pi(s)) instead
-                metrics["Actor loss"] = a_loss
-                metrics["Total loss"] = a_loss + metrics["Critic loss"]
+                if with_metrics:
+                    c_grads, metrics = jax.grad(
+                        critic_loss_fn, has_aux=True
+                    )(nets["critic"][tag])
+                    (a_loss, a_grads) = jax.value_and_grad(actor_loss_fn)(
+                        nets["actor"][tag],
+                        jax.lax.stop_gradient(nets["critic"][tag]),
+                    )
+                    # the critic-side aux metrics computed "Actor loss"
+                    # from Q(s, a); report the true -mean Q(s, pi(s))
+                    metrics["Actor loss"] = a_loss
+                    metrics["Total loss"] = a_loss + metrics["Critic loss"]
+                else:
+                    c_grads = jax.grad(
+                        lambda cp: critic_loss_fn(cp)[0]
+                    )(nets["critic"][tag])
+                    a_grads = jax.grad(actor_loss_fn)(
+                        nets["actor"][tag],
+                        jax.lax.stop_gradient(nets["critic"][tag]),
+                    )
+                    metrics = {}
 
                 # Warm-up gating: while the replay window is not yet full,
                 # the reference skips the update entirely
@@ -546,13 +590,18 @@ class TrainerDDPG(TrainerBase):
                     nets["target_critic"][tag], new_critic[tag], tau_eff
                 )
 
-                metrics["Current timestep"] = timestep
-                metrics["Actor learning rate"] = actor_lr
-                metrics["Critic learning rate"] = critic_lr
-                metrics["Actor gradient norm"] = optax.global_norm(a_grads)
-                metrics["Critic gradient norm"] = optax.global_norm(c_grads)
-                metrics["Buffer full"] = is_full
-                all_metrics[tag] = metrics
+                if with_metrics:
+                    metrics["Current timestep"] = timestep
+                    metrics["Actor learning rate"] = actor_lr
+                    metrics["Critic learning rate"] = critic_lr
+                    metrics["Actor gradient norm"] = optax.global_norm(
+                        a_grads
+                    )
+                    metrics["Critic gradient norm"] = optax.global_norm(
+                        c_grads
+                    )
+                    metrics["Buffer full"] = is_full
+                    all_metrics[tag] = metrics
 
 
             new_nets = {
@@ -570,10 +619,10 @@ class TrainerDDPG(TrainerBase):
 
         return replay_update
 
-    def _build_iteration_fn(self):
+    def _build_iteration_fn(self, with_metrics=True):
         T = self.training_batch_size_per_env
         rollout = self._make_rollout()
-        replay_update = self._make_replay_update()
+        replay_update = self._make_replay_update(with_metrics=with_metrics)
 
         def iteration(carry, timestep):
             rng, k_roll, k_noise = jax.random.split(carry["rng"], 3)
