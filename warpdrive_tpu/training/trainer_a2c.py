@@ -198,24 +198,11 @@ class TrainerA2C(TrainerBase):
         apply = self.models[tag].apply
         if remat:
             apply = jax.checkpoint(apply)
-        # Collapse all leading dims to ONE batch dim before the apply:
-        # XLA lowers a dot_general with several leading dims (T, E, A, F)
-        # measurably worse than the equivalent 2-D matmul — on a v5e the
-        # flagship update program ran 2.5x slower and accessed ~30% more
-        # bytes in the 4-D form (artifacts/round2/tpu_update_anatomy5.log).
-        lead = obs_flat.shape[:-1]
-        if len(lead) > 1:
-            obs2 = obs_flat.reshape((-1, obs_flat.shape[-1]))
-            mask2 = (
-                None if action_mask is None
-                else action_mask.reshape((-1, action_mask.shape[-1]))
-            )
-            logits, value = apply(params, obs2, action_mask=mask2)
-            logits = [l.reshape(lead + (l.shape[-1],)) for l in logits]
-            if value is not None:
-                value = value.reshape(lead)
-            return logits, value
-        return apply(params, obs_flat, action_mask=action_mask)
+        # collapse leading batch dims around the apply (mesh-aware: no-op
+        # when the env axis is sharded — see TrainerBase._flat_apply)
+        return self._flat_apply(apply)(
+            params, obs_flat, action_mask=action_mask
+        )
 
     # _gather_policy_mask / _policy_obs_and_mask live in TrainerBase.
 

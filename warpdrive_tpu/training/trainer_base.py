@@ -430,6 +430,7 @@ class TrainerBase:
 
         window_start = time.time()
         window_iters = 0
+        first_iteration = self.iters_completed
         for iteration in range(self.iters_completed, self.num_iters):
             log_now = (
                 (iteration + 1) % self.metrics_log_freq == 0
@@ -441,9 +442,19 @@ class TrainerBase:
                 # hot iterations run the metrics-free program (keeping
                 # loss/metric values as outputs blocks XLA's forward-into-
                 # backward fusion: 2.25x slower measured on v5e); the
-                # full-metrics program runs only at log points
+                # full-metrics program runs only at log points.  The FULL
+                # program always runs (and therefore compiles) on the
+                # first iteration so that with a sparse log cadence its
+                # compile cannot become a trailing mid-run compile — on
+                # TPU a failed remote compile after the training work
+                # would risk losing the final checkpoint (CLAUDE.md
+                # rule 6: save results before any optional compile).
                 fn = self._iteration_fn
-                if not log_now and self._iteration_fn_fast is not None:
+                if (
+                    not log_now
+                    and iteration != first_iteration
+                    and self._iteration_fn_fast is not None
+                ):
                     fn = self._iteration_fn_fast
                 self._carry, metrics = fn(
                     self._carry,
@@ -931,12 +942,8 @@ class TrainerBase:
         # one) — that is what every non-log training iteration runs.
         carry = jax.tree_util.tree_map(jnp.copy, self._carry)
         t_arg = jnp.asarray(0.0, jnp.float32)
-        try:
-            hot = self._build_iteration_fn(with_metrics=False)
-        except TypeError:
-            hot = self._build_iteration_fn()
         iter_ms = timeit(
-            jax.jit(hot),
+            jax.jit(self._build_hot_iteration_fn()),
             (carry, t_arg),
             lambda out: (out[0], t_arg),  # chain the returned carry
         )
@@ -960,6 +967,53 @@ class TrainerBase:
             "Rollout steps per sec": result["rollout_steps_per_sec"],
         }
         return result
+
+    def _flat_apply(self, apply):
+        """Collapse all leading dims to ONE batch dim around a trailing-
+        feature apply: XLA lowers a dot_general with several leading dims
+        (T, E, A, F) measurably worse than the equivalent 2-D matmul
+        (2.5x on v5e, ``artifacts/round2/tpu_update_anatomy5.log``).
+
+        SHARDING GUARD: on a multi-chip mesh the update batch is sharded
+        on the env axis (dim 1 of (T, E, ...)); merging it into one dim
+        whose major factor is T is a reshape GSPMD cannot keep sharded —
+        it inserts all-gathers that replicate the whole batch onto every
+        device (confirmed on an 8-device CPU mesh: 3 all-gathers vs 0).
+        With a mesh the apply is returned unchanged; the leading-dim
+        lowering penalty is the lesser cost.
+        """
+        if getattr(self.engine, "mesh", None) is not None:
+            return apply
+
+        def f(p, obs, *rest, **kw):
+            lead = obs.shape[:-1]
+            if len(lead) <= 1:
+                return apply(p, obs, *rest, **kw)
+
+            def fl(a):
+                return a.reshape((-1,) + a.shape[len(lead):])
+
+            out = apply(
+                p, fl(obs), *[fl(r) for r in rest],
+                **{k: (None if v is None else fl(v)) for k, v in kw.items()},
+            )
+            return jax.tree_util.tree_map(
+                lambda o: o.reshape(lead + o.shape[1:]), out
+            )
+
+        return f
+
+    def _build_hot_iteration_fn(self):
+        """The metrics-free iteration builder when the subclass supports
+        it (signature-checked so a genuine ``TypeError`` raised inside the
+        build still propagates); otherwise the full-metrics builder."""
+        import inspect
+
+        if "with_metrics" in inspect.signature(
+            self._build_iteration_fn
+        ).parameters:
+            return self._build_iteration_fn(with_metrics=False)
+        return self._build_iteration_fn()
 
     def _eager_iteration(self, timestep):  # pragma: no cover - subclass
         raise NotImplementedError(
@@ -995,9 +1049,14 @@ class TrainerBase:
         training iterations (viewable in TensorBoard / Perfetto) — the deep
         complement to :meth:`profile_phases`; replaces the reference's
         cuda-event timers with XLA's own op-level timeline.
+
+        Traces the HOT (metrics-free) program where the trainer provides
+        one — that is what every non-log production iteration runs, and
+        the two programs compile differently (the full-metrics program
+        keeps an unfused forward pass, 2.25x slower).
         """
         assert self._iteration_fn is not None and self._carry is not None
-        undonated = jax.jit(self._build_iteration_fn())
+        undonated = jax.jit(self._build_hot_iteration_fn())
         carry = jax.tree_util.tree_map(jnp.copy, self._carry)
         t0 = jnp.asarray(0.0, jnp.float32)
         out, _ = undonated(carry, t0)  # compile outside the trace

@@ -407,23 +407,7 @@ class TrainerDDPG(TrainerBase):
 
         return run
 
-    @staticmethod
-    def _flat_apply(apply):
-        """Collapse all leading dims to ONE batch dim around a trailing-
-        feature apply: XLA lowers a dot_general with several leading dims
-        (cap, E, A, F) measurably worse than the equivalent 2-D matmul
-        (2.5x on v5e for the A2C update, tpu_update_anatomy5.log)."""
-
-        def f(p, obs, *rest):
-            lead = obs.shape[:-1]
-            if len(lead) <= 1:
-                return apply(p, obs, *rest)
-            obs2 = obs.reshape((-1, obs.shape[-1]))
-            rest2 = [r.reshape((-1, r.shape[-1])) for r in rest]
-            out = apply(p, obs2, *rest2)
-            return out.reshape(lead + out.shape[1:])
-
-        return f
+    # _flat_apply (mesh-aware leading-dim collapse) lives in TrainerBase.
 
     def _make_replay_update(self, with_metrics=True):
         """Sliding-window replay append + per-policy DDPG update as a
