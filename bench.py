@@ -298,6 +298,65 @@ def main():
         print(f"[bench] flagship training stage failed: {exc}",
               file=sys.stderr, flush=True)
 
+    # tuned-scale flagship training: same two-policy adversarial system at
+    # 2000 envs with the production tuning knobs (env-axis minibatched
+    # update inside the jit + bf16 model compute/batch storage).  LAST
+    # stage on purpose: it compiles the largest update program of the
+    # suite, and a remote-compile failure here must not cost any earlier
+    # line (they are already flushed).
+    if not on_tpu:
+        return  # compile cost not worth it for the CPU smoke run
+    try:
+        print("[bench] compiling + timing tuned-scale flagship training...",
+              file=sys.stderr, flush=True)
+        t_envs2, T_2 = 2000, 100
+        fenv2 = TpuTagContinuous(
+            **dict(FLAGSHIP_ENV_KWARGS, seed=274880,
+                   knn_algorithm="packed"))
+        fengine2 = _EE(env_obj=fenv2, num_envs=t_envs2, seed=31)
+        pmap2 = {
+            "tagger": [i for i in range(fenv2.num_agents)
+                       if fenv2.agent_type[i] == 1],
+            "runner": [i for i in range(fenv2.num_agents)
+                       if fenv2.agent_type[i] == 0],
+        }
+        fpol2 = dict(fpol, num_minibatches=20, shuffle_minibatches=False,
+                     model={"type": "fully_connected",
+                            "fc_dims": [256, 256], "dtype": "bfloat16"})
+        fcfg2 = {
+            "name": "bench_flagship_tuned",
+            "env": {},
+            "trainer": {"num_envs": t_envs2, "num_episodes": 4 * t_envs2,
+                        "train_batch_size": T_2 * t_envs2, "seed": 1,
+                        "batch_dtype": "bfloat16"},
+            "policy": {"runner": dict(fpol2, lr=0.005),
+                       "tagger": dict(fpol2)},
+            "saving": {"metrics_log_freq": 10**9,
+                       "model_params_save_freq": 10**9,
+                       "basedir": "/tmp", "name": "bench_ft", "tag": "t"},
+        }
+        ftr2 = _TA2C(env_wrapper=fengine2, config=fcfg2,
+                     policy_tag_to_agent_id_map=pmap2, verbose=False)
+        fprof2 = ftr2.profile_phases(repeats=3)
+        print(
+            json.dumps(
+                {
+                    "metric":
+                        "tag_continuous_training_tuned_env_steps_per_sec",
+                    "value": round(fprof2["steps_per_sec"]),
+                    "unit": "env_steps/s",
+                    "rollout_ms": round(fprof2["rollout_ms"], 2),
+                    "update_ms": round(fprof2["update_ms"], 2),
+                    "num_envs": t_envs2,
+                    "platform": platform,
+                }
+            ),
+            flush=True,
+        )
+    except Exception as exc:
+        print(f"[bench] tuned flagship training stage failed: {exc}",
+              file=sys.stderr, flush=True)
+
 
 if __name__ == "__main__":
     main()
