@@ -318,3 +318,56 @@ def test_sharded_flagship_packed_observe_matches_unsharded():
     obs_a = np.asarray(eng_a.observe(st_a))
     obs_b = np.asarray(eng_b.observe(st_b))
     np.testing.assert_array_equal(obs_a, obs_b)
+
+
+def test_sharded_hot_program_has_no_all_gathers():
+    """Regression: collapsing (T, E, A, F) to 2-D before the update
+    matmul merged the sharded env axis into a dim GSPMD cannot keep
+    sharded — the compiled program replicated the whole batch onto every
+    device via all-gathers.  With the mesh guard in
+    ``TrainerBase._flat_apply`` the sharded hot program must contain
+    ZERO all-gathers (only gradient all-reduces).  TagGridWorld is the
+    probe env: its sharded program compiles gather-free, so any
+    all-gather that appears is a regression (CartPole is unsuitable —
+    GSPMD inserts a few benign parameter-sized weight gathers there in
+    both the 4-D and guarded forms)."""
+    from warpdrive_tpu.envs.tag_gridworld import TpuTagGridWorld
+    from warpdrive_tpu.training.trainer_a2c import TrainerA2C
+
+    env = TpuTagGridWorld(
+        num_taggers=4, grid_length=10, episode_length=20, seed=7,
+        use_full_observation=False,
+    )
+    engine = apply_env_sharding(
+        EnvEngine(env_obj=env, num_envs=16, seed=7), num_devices=8
+    )
+    config = {
+        "trainer": {
+            "num_envs": 16,
+            "num_episodes": 64,
+            "train_batch_size": 320,  # T = 20: leading dims (20, 16, A)
+            "seed": 1,
+        },
+        "policy": {
+            "shared": {
+                "to_train": True,
+                "algorithm": "A2C",
+                "gamma": 0.98,
+                "lr": 1e-3,
+                "model": {"type": "fully_connected", "fc_dims": [32, 32]},
+            }
+        },
+        "saving": {"basedir": "/tmp/wdtpu_mesh_test", "metrics_log_freq": 1},
+    }
+    tr = TrainerA2C(env_wrapper=engine, config=config, verbose=False)
+    txt = (
+        tr._iteration_fn_fast.lower(tr._carry, jnp.asarray(0.0, jnp.float32))
+        .compile()
+        .as_text()
+    )
+    ag_ops = [
+        line for line in txt.splitlines()
+        if " all-gather" in line and "=" in line
+    ]
+    assert not ag_ops, f"sharded update batch replicated: {ag_ops[:2]}"
+    assert txt.count("all-reduce") > 0  # gradient sync still present
