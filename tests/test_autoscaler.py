@@ -91,3 +91,68 @@ def test_argfix_forwards_deprecated_kwarg():
     with pytest.warns(DeprecationWarning):
         assert f(use_cuda="tpu") == "tpu"
     assert f(env_backend="x") == "x"
+
+
+def test_effective_minibatches_divides_envs():
+    assert autoscaler._effective_minibatches(100, 8) == 5
+    assert autoscaler._effective_minibatches(64, 8) == 8
+    assert autoscaler._effective_minibatches(7, 4) == 1
+    assert autoscaler._effective_minibatches(2, 8) == 2
+
+
+def test_memory_knob_ladder_escalation():
+    """Beyond-parity: when a size doesn't fit as-configured, the scaler
+    escalates remat -> minibatching before giving up, and the selected
+    knobs are written into the returned config (divisor-adjusted)."""
+
+    def fake_probe(trial, env_setup):
+        envs = trial["trainer"]["num_envs"]
+        pol = trial["policy"]["shared"]
+        # capacity model: plain fits 16 envs; remat doubles it; each
+        # doubling of minibatches doubles it again
+        cap = 16
+        if pol.get("remat"):
+            cap *= 2
+        cap *= pol.get("num_minibatches", 1)
+        return envs <= cap and trial["trainer"]["train_batch_size"] <= (
+            envs * 10 * 2
+        )
+
+    cfg = {
+        "trainer": {"num_envs": 4, "train_batch_size": 40},
+        "env": {},
+        "policy": {"shared": {"to_train": True}},
+        "saving": {},
+    }
+    out = autoscaler.perform_auto_vertical_scaling(
+        cfg, ("Env", "single", "a2c"), probe_fn=fake_probe
+    )
+    # remat (x2) + 8 minibatches (x8) -> 256 envs
+    assert out["trainer"]["num_envs"] == 256
+    assert out["policy"]["shared"]["remat"] is True
+    assert out["policy"]["shared"]["num_minibatches"] == 8
+    assert out["trainer"]["train_batch_size"] == 256 * 10 * 2
+    # input untouched
+    assert "remat" not in cfg["policy"]["shared"]
+
+
+def test_memory_knobs_disabled_matches_plain_search():
+    def fake_probe(trial, env_setup):
+        pol = trial["policy"]["shared"]
+        assert "remat" not in pol  # ladder must not be touched
+        return trial["trainer"]["num_envs"] <= 16 and (
+            trial["trainer"]["train_batch_size"]
+            <= trial["trainer"]["num_envs"] * 10
+        )
+
+    cfg = {
+        "trainer": {"num_envs": 4, "train_batch_size": 40},
+        "env": {},
+        "policy": {"shared": {"to_train": True}},
+        "saving": {},
+    }
+    out = autoscaler.perform_auto_vertical_scaling(
+        cfg, ("Env", "single", "a2c"), use_memory_knobs=False,
+        probe_fn=fake_probe,
+    )
+    assert out["trainer"]["num_envs"] == 16

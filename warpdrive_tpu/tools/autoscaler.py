@@ -135,43 +135,108 @@ def _probe(run_config: dict, env_setup, timeout_s: int = None) -> bool:
         os.unlink(path)
 
 
-def perform_auto_vertical_scaling(run_config: dict, env_setup) -> dict:
+# Memory-knob escalation ladder (beyond reference parity; TPU-specific).
+# The update program's activation memory — (T, E, agents, hidden) — is the
+# thing that OOMs first on a 16 GB chip (docs/performance.md §8): `remat`
+# recomputes activations in the backward pass (numerically exact), and
+# `num_minibatches` slices the update over the env axis (exact too: the
+# return recursion never crosses envs).  Rung 0 is the config as given;
+# each later rung trades a little update speed for a lot of memory.
+MEMORY_KNOB_LADDER = (
+    {},
+    {"remat": True},
+    {"remat": True, "num_minibatches": 2},
+    {"remat": True, "num_minibatches": 4},
+    {"remat": True, "num_minibatches": 8},
+)
+
+
+def _effective_minibatches(num_envs: int, target: int) -> int:
+    """Largest divisor of ``num_envs`` that is <= ``target`` (the env-axis
+    minibatch count must divide the env count exactly)."""
+    mb = max(1, min(target, num_envs))
+    while num_envs % mb:
+        mb -= 1
+    return mb
+
+
+def _with_knobs(run_config: dict, knobs: dict, num_envs: int) -> dict:
+    trial = copy.deepcopy(run_config)
+    for pol in trial.get("policy", {}).values():
+        if pol.get("to_train", True) and knobs:
+            eff = dict(knobs)
+            if "num_minibatches" in eff:
+                eff["num_minibatches"] = _effective_minibatches(
+                    num_envs, eff["num_minibatches"]
+                )
+            pol.update(eff)
+    return trial
+
+
+def perform_auto_vertical_scaling(
+    run_config: dict,
+    env_setup,
+    use_memory_knobs: bool = True,
+    probe_fn=None,
+) -> dict:
     """
     Find the largest feasible ``num_envs`` (keeping batch-per-env constant),
     then the largest feasible ``train_batch_size`` multiple at that env count
     (reference ``vertical_scaler.py:102-185``).  Returns an updated copy of
     the run config.
+
+    Beyond the reference: when a trial does not fit, the scaler escalates
+    through :data:`MEMORY_KNOB_LADDER` (``remat``, then env-axis update
+    minibatching) before declaring the size infeasible — the chosen rung is
+    monotone over the search (a knob needed at N envs stays on for >N) and
+    the selected knobs are written into the returned config.
+
+    ``probe_fn(run_config, env_setup) -> bool`` is injectable for tests.
     """
+    probe = probe_fn or _probe
     base = copy.deepcopy(run_config)
     base_envs = int(base["trainer"]["num_envs"])
     batch_per_env = max(
         1, int(base["trainer"]["train_batch_size"]) // base_envs
     )
+    ladder = MEMORY_KNOB_LADDER if use_memory_knobs else ({},)
+    state = {"rung": 0}
 
     def envs_valid(num_envs: int) -> bool:
-        trial = copy.deepcopy(base)
-        trial["trainer"]["num_envs"] = num_envs
-        trial["trainer"]["train_batch_size"] = num_envs * batch_per_env
-        return _probe(trial, env_setup)
+        for rung in range(state["rung"], len(ladder)):
+            trial = _with_knobs(base, ladder[rung], num_envs)
+            trial["trainer"]["num_envs"] = num_envs
+            trial["trainer"]["train_batch_size"] = num_envs * batch_per_env
+            if probe(trial, env_setup):
+                if rung != state["rung"]:
+                    logging.info(
+                        "autoscaler: escalating memory knobs to %s at "
+                        "%d envs", ladder[rung], num_envs,
+                    )
+                state["rung"] = rung
+                return True
+        return False
 
     logging.info("autoscaler: searching max num_envs from %d ...", base_envs)
     best_envs = best_param_search(envs_valid, low=base_envs)
+    knobs = ladder[state["rung"]]
 
     def batch_valid(mult: int) -> bool:
-        trial = copy.deepcopy(base)
+        trial = _with_knobs(base, knobs, best_envs)
         trial["trainer"]["num_envs"] = best_envs
         trial["trainer"]["train_batch_size"] = best_envs * batch_per_env * mult
-        return _probe(trial, env_setup)
+        return probe(trial, env_setup)
 
     logging.info("autoscaler: searching max batch multiple at %d envs ...", best_envs)
     best_mult = best_param_search(batch_valid, low=1)
 
-    out = copy.deepcopy(run_config)
+    out = _with_knobs(run_config, knobs, best_envs)
     out["trainer"]["num_envs"] = best_envs
     out["trainer"]["train_batch_size"] = best_envs * batch_per_env * best_mult
     logging.info(
-        "autoscaler: selected num_envs=%d train_batch_size=%d",
+        "autoscaler: selected num_envs=%d train_batch_size=%d knobs=%s",
         out["trainer"]["num_envs"],
         out["trainer"]["train_batch_size"],
+        knobs,
     )
     return out
