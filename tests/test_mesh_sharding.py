@@ -371,3 +371,52 @@ def test_sharded_hot_program_has_no_all_gathers():
     ]
     assert not ag_ops, f"sharded update batch replicated: {ag_ops[:2]}"
     assert txt.count("all-reduce") > 0  # gradient sync still present
+
+
+def test_ddpg_replay_buffer_sharded_on_env_axis():
+    """The (capacity, E, ...) replay subtrees are the largest arrays in
+    the DDPG carry; they must be sharded on their env axis (dim 1), not
+    replicated (the generic axis-0 rule used to replicate them)."""
+    from warpdrive_tpu.training.trainer_ddpg import TrainerDDPG
+
+    env_cls = env_registrar.get("ClassicControlPendulumEnv", backend="tpu")
+    env = env_cls(episode_length=20, seed=3)
+    engine = apply_env_sharding(
+        EnvEngine(env_obj=env, num_envs=16, seed=0), num_devices=8
+    )
+    config = {
+        "trainer": {
+            "num_envs": 16,
+            "num_episodes": 64,
+            "train_batch_size": 160,
+            "seed": 5,
+        },
+        "policy": {
+            "shared": {
+                "to_train": True,
+                "algorithm": "DDPG",
+                "gamma": 0.99,
+                "tau": 0.05,
+                "lr": {"actor": 1e-3, "critic": 1e-4},
+                "model": {
+                    "actor": {
+                        "type": "fully_connected_actor",
+                        "fc_dims": [16, 16],
+                        "output_w": 2.0,
+                    },
+                    "critic": {
+                        "type": "fully_connected_action_value_critic",
+                        "fc_dims": [16, 16],
+                    },
+                },
+            }
+        },
+        "sampler": {"params": {"damping": 0.15, "stddev": 0.2, "scale": 1.0}},
+        "saving": {"basedir": "/tmp/wdtpu_mesh_test", "metrics_log_freq": 1},
+    }
+    tr = TrainerDDPG(env_wrapper=engine, config=config, verbose=False)
+    buf_obs = tr._carry["buf"]["shared"]["obs"]
+    spec = buf_obs.sharding.spec
+    assert tuple(spec)[:2] == (None, "env"), spec
+    done_spec = tr._carry["done_buf"].sharding.spec
+    assert tuple(done_spec)[:2] == (None, "env"), done_spec

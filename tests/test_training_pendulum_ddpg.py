@@ -179,3 +179,100 @@ def test_ddpg_fast_program_matches_full(tmp_path):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
         )
+
+
+def test_ddpg_midrun_partial_reload(tmp_path):
+    """A mid-run reload of ONE net of ONE policy must not touch the other
+    carry entries (they alias buffers donated to the jitted program —
+    wholesale rebuild used to reinsert deleted arrays and crash)."""
+    import jax
+
+    cfg = _small_pendulum_cfg()
+    cfg["trainer"]["num_episodes"] = 200  # 4 iterations
+    trainer = setup_trainer_and_train(
+        cfg, verbose=False, results_dir=str(tmp_path / "results")
+    )
+    t = trainer.current_timestep
+    actor_path = str(tmp_path / "results" / f"shared_actor_{t}.state_dict")
+    # partial reload: actor only
+    trainer.load_model_checkpoint({"shared": {"actor": actor_path}})
+    # training continues without 'Array has been deleted'
+    import jax.numpy as jnp
+
+    trainer._carry, _ = trainer._iteration_fn(
+        trainer._carry, jnp.asarray(float(t), jnp.float32)
+    )
+
+
+def test_ddpg_load_rejects_string_paths(tmp_path):
+    import pytest
+
+    cfg = _small_pendulum_cfg()
+    cfg["trainer"]["num_episodes"] = 200
+    trainer = setup_trainer_and_train(
+        cfg, verbose=False, results_dir=str(tmp_path / "results")
+    )
+    with pytest.raises(TypeError):
+        trainer.load_model_checkpoint({"shared": "/tmp/nope.state_dict"})
+
+
+def test_ddpg_eager_backend_honors_checkpoint(tmp_path):
+    """Round-2 regression: on the eager CPU backend a configured
+    checkpoint used to be silently discarded (the eager nets were built
+    before the load and never refreshed)."""
+    import jax
+    import numpy as np
+
+    cfg = _small_pendulum_cfg()
+    cfg["trainer"]["num_episodes"] = 200
+    trainer = setup_trainer_and_train(
+        cfg, verbose=False, results_dir=str(tmp_path / "results")
+    )
+    t = trainer.current_timestep
+    paths = {
+        "shared": {
+            "actor": str(tmp_path / "results" / f"shared_actor_{t}.state_dict"),
+            "critic": str(
+                tmp_path / "results" / f"shared_critic_{t}.state_dict"
+            ),
+        }
+    }
+
+    cfg2 = _small_pendulum_cfg()
+    cfg2["trainer"]["env_backend"] = "cpu"
+    from warpdrive_tpu.envs import register_all_envs
+    from warpdrive_tpu.envs.cpu_engine import CpuEnvEngine
+    from warpdrive_tpu.training.trainer_ddpg import TrainerDDPG
+    from warpdrive_tpu.utils.env_registrar import env_registrar
+
+    register_all_envs()
+    env_cls = env_registrar.get("ClassicControlPendulumEnv", backend="cpu")
+    engine = CpuEnvEngine(
+        env_obj=env_cls(**cfg2["env"]),
+        num_envs=cfg2["trainer"]["num_envs"], seed=1,
+    )
+    eager = TrainerDDPG(
+        env_wrapper=engine, config=cfg2,
+        results_dir=str(tmp_path / "eager"), verbose=False,
+    )
+    eager.load_model_checkpoint(paths)
+    for net in ("actor", "critic"):
+        for a, b in zip(
+            jax.tree_util.tree_leaves(eager._eager_nets[net]["shared"]),
+            jax.tree_util.tree_leaves(trainer._current_params("shared")[net]),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6
+            )
+
+
+def test_ddpg_batch_dtype_halves_replay_obs(tmp_path):
+    import jax.numpy as jnp
+
+    cfg = _small_pendulum_cfg()
+    cfg["trainer"]["num_episodes"] = 200
+    cfg["trainer"]["batch_dtype"] = "bfloat16"
+    trainer = setup_trainer_and_train(
+        cfg, verbose=False, results_dir=str(tmp_path / "results")
+    )
+    assert trainer._carry["buf"]["shared"]["obs"].dtype == jnp.bfloat16

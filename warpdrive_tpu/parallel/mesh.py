@@ -130,11 +130,18 @@ _PARAM_KEYS = (
 )
 
 
+# top-level carry keys holding TIME-MAJOR replay subtrees (TrainerDDPG):
+# (capacity, E, ...) — the env axis is dim 1, so the generic axis-0 rule
+# below would REPLICATE the largest arrays in the carry onto every device
+_REPLAY_KEYS = ("buf", "done_buf")
+
+
 def shard_carry(carry, mesh: Mesh, num_envs: int):
     """
     Place a trainer carry on the mesh: env-batched leaves sharded over
     ``env``; on a 2-D mesh, model/optimizer subtrees sharded over
-    ``model`` (tensor parallelism); everything else replicated.
+    ``model`` (tensor parallelism); time-major replay buffers sharded on
+    their env axis (dim 1); everything else replicated.
     """
     has_tp = MODEL_AXIS in mesh.axis_names
 
@@ -144,6 +151,13 @@ def shard_carry(carry, mesh: Mesh, num_envs: int):
             return jax.device_put(x, env_sharding(mesh, x.ndim))
         return jax.device_put(x, replicated(mesh))
 
+    def place_time_major(x):
+        x = jax.numpy.asarray(x)
+        if x.ndim >= 2 and x.shape[1] == num_envs:
+            spec = P(None, ENV_AXIS, *([None] * (x.ndim - 2)))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        return place(x)
+
     if not isinstance(carry, dict):
         return jax.tree_util.tree_map(place, carry)
 
@@ -151,6 +165,8 @@ def shard_carry(carry, mesh: Mesh, num_envs: int):
     for key, sub in carry.items():
         if has_tp and key in _PARAM_KEYS:
             out[key] = shard_params_tp(sub, mesh)
+        elif key in _REPLAY_KEYS:
+            out[key] = jax.tree_util.tree_map(place_time_major, sub)
         else:
             out[key] = jax.tree_util.tree_map(place, sub)
     return out

@@ -183,9 +183,19 @@ class TrainerA2C(TrainerBase):
             "ep_count": jnp.zeros((), dtype=jnp.float32),
         }
 
-    def _rebuild_carry_params(self):
-        if self._carry is not None:
-            self._carry["params"] = dict(self.params)
+    def _rebuild_carry_params(self, loaded=None):
+        """Write freshly-loaded policy params into the live carry.
+
+        Only the ``loaded`` policies are touched: after the first jitted
+        iteration the other ``self.params`` entries alias buffers that were
+        DONATED to the program — copying them wholesale would reinsert
+        deleted arrays into the carry (mid-run partial reload crash)."""
+        if self._carry is None:
+            return
+        for tag in (self.params if loaded is None else loaded):
+            self._carry["params"][tag] = jax.tree_util.tree_map(
+                jnp.asarray, self.params[tag]
+            )
 
     def _policy_forward(self, tag, params, obs_flat, action_mask=None,
                         remat=False):
@@ -215,16 +225,8 @@ class TrainerA2C(TrainerBase):
         ]
         return jnp.stack(cols, axis=-1)
 
-    def _scatter_actions(self, per_policy_actions: dict) -> jnp.ndarray:
-        """Merge per-policy action blocks into the (E, N, C) placeholder."""
-        num_c = max(a.shape[-1] for a in per_policy_actions.values())
-        actions = jnp.zeros(
-            (self.num_envs, self.engine.n_agents, num_c), dtype=jnp.int32
-        )
-        for tag, acts in per_policy_actions.items():
-            ids = jnp.asarray(self.policy_tag_to_agent_id_map[tag])
-            actions = actions.at[:, ids, : acts.shape[-1]].set(acts)
-        return actions
+    # _scatter_actions lives in TrainerBase; discrete action components
+    _action_dtype = jnp.int32
 
     def _build_act_fn(self):
         """(params, env_state, key[, use_argmax]) -> actions for all agents."""

@@ -616,7 +616,14 @@ class TrainerBase:
         (reference ``trainer_a2c.py:341-359``).
         """
         timesteps = set()
+        loaded = []
         for policy, path in ckpt_filepaths.items():
+            if not isinstance(path, str):
+                raise TypeError(
+                    f"expected a checkpoint file path per policy, got "
+                    f"{type(path).__name__} for {policy!r} (DDPG takes "
+                    "{'policy': {'actor': path, 'critic': path}})"
+                )
             if not path:
                 continue
             with open(path, "rb") as f:
@@ -624,16 +631,31 @@ class TrainerBase:
             self.params[policy] = serialization.from_bytes(
                 jax.device_get(self._current_params(policy)), payload
             )
+            loaded.append(policy)
             fname = os.path.basename(path)
             stem = fname.split(".")[0]
             timesteps.add(int(stem.split("_")[-1]))
         if timesteps:
             assert len(timesteps) == 1, "checkpoints disagree on the timestep"
             self.current_timestep = timesteps.pop()
-        self._rebuild_carry_params()
+        self._rebuild_carry_params(loaded)
 
-    def _rebuild_carry_params(self):  # pragma: no cover - subclass detail
+    def _rebuild_carry_params(self, loaded=None):  # pragma: no cover
         raise NotImplementedError
+
+    _action_dtype = None  # subclass: jnp.int32 (discrete) / float32 (DDPG)
+
+    def _scatter_actions(self, per_policy_actions: dict) -> jnp.ndarray:
+        """Merge per-policy action blocks into the (E, N, C) placeholder."""
+        num_c = max(a.shape[-1] for a in per_policy_actions.values())
+        actions = jnp.zeros(
+            (self.num_envs, self.engine.n_agents, num_c),
+            dtype=self._action_dtype,
+        )
+        for tag, acts in per_policy_actions.items():
+            ids = jnp.asarray(self.policy_tag_to_agent_id_map[tag])
+            actions = actions.at[:, ids, : acts.shape[-1]].set(acts)
+        return actions
 
     def _act_params(self):
         """Params pytree consumed by ``self._act_fn`` (subclass detail)."""

@@ -213,12 +213,16 @@ class TrainerDDPG(TrainerBase):
         cap = self.buffer_capacity
         buf = {}
         ou = {}
+        # trainer.batch_dtype ("bfloat16") halves the replay window's obs
+        # buffer — the dominant, longest-lived HBM consumer here (same
+        # lever as the A2C rollout batch, docs/performance.md §8)
+        bdt = jnp.dtype(self.config["trainer"].get("batch_dtype", "float32"))
         for tag, ids in self.policy_tag_to_agent_id_map.items():
             Ap = len(ids)
             C = self._num_action_dims[tag]
             F = self._obs_feature_dim(tag)
             buf[tag] = {
-                "obs": jnp.zeros((cap, E, Ap, F), jnp.float32),
+                "obs": jnp.zeros((cap, E, Ap, F), bdt),
                 "actions": jnp.zeros((cap, E, Ap, C), jnp.float32),
                 "rewards": jnp.zeros((cap, E, Ap), jnp.float32),
             }
@@ -254,29 +258,41 @@ class TrainerDDPG(TrainerBase):
             "ep_count": jnp.zeros((), jnp.float32),
         }
 
-    def _rebuild_carry_params(self):
-        if self._carry is not None:
-            self._carry["actor"] = dict(self.params["actor"])
-            self._carry["critic"] = dict(self.params["critic"])
-            # targets hard-reset to the loaded nets, in DISTINCT buffers —
-            # aliased leaves would be donated twice by the jitted iteration
-            self._carry["target_actor"] = jax.tree_util.tree_map(
-                jnp.copy, dict(self.params["actor"])
+    def _rebuild_carry_params(self, loaded=None):
+        """Write freshly-loaded nets into the live carry / eager nets.
+
+        ``loaded`` is a list of ``(net, policy)`` pairs; only those entries
+        are touched (plus their targets, hard-reset to the loaded net in
+        DISTINCT buffers — reference hard_update-at-load).  After the first
+        jitted iteration, untouched ``self.params`` entries alias DONATED
+        buffers; copying them wholesale would reinsert deleted arrays."""
+        if loaded is None:
+            loaded = [
+                (net, tag)
+                for net in ("actor", "critic")
+                for tag in self.params[net]
+            ]
+        for net, tag in loaded:
+            fresh = jax.tree_util.tree_map(
+                jnp.asarray, self.params[net][tag]
             )
-            self._carry["target_critic"] = jax.tree_util.tree_map(
-                jnp.copy, dict(self.params["critic"])
-            )
+            if self._carry is not None and net in self._carry:
+                self._carry[net][tag] = fresh
+                self._carry[f"target_{net}"][tag] = jax.tree_util.tree_map(
+                    jnp.copy, fresh
+                )
+            if getattr(self, "_eager_nets", None) is not None:
+                # the eager CPU backend keeps its nets outside any carry;
+                # without this a configured checkpoint was silently
+                # discarded on the first eager iteration
+                self._eager_nets[net][tag] = fresh
+                self._eager_nets[f"target_{net}"][tag] = (
+                    jax.tree_util.tree_map(jnp.copy, fresh)
+                )
 
     # ------------------------------------------------------------- acting
-    def _scatter_actions(self, per_policy_actions: dict) -> jnp.ndarray:
-        num_c = max(a.shape[-1] for a in per_policy_actions.values())
-        actions = jnp.zeros(
-            (self.num_envs, self.engine.n_agents, num_c), dtype=jnp.float32
-        )
-        for tag, acts in per_policy_actions.items():
-            ids = jnp.asarray(self.policy_tag_to_agent_id_map[tag])
-            actions = actions.at[:, ids, : acts.shape[-1]].set(acts)
-        return actions
+    # _scatter_actions lives in TrainerBase; continuous action components
+    _action_dtype = jnp.float32
 
     def _build_act_fn(self):
         """Deterministic (no-noise) action fn for evaluation."""
@@ -434,7 +450,11 @@ class TrainerDDPG(TrainerBase):
                 b = nets["buf"][tag]
                 new_buf[tag] = {
                     "obs": jnp.concatenate(
-                        [b["obs"][T:], rows[f"obs_{tag}"]], axis=0
+                        [
+                            b["obs"][T:],
+                            rows[f"obs_{tag}"].astype(b["obs"].dtype),
+                        ],
+                        axis=0,
                     ),
                     "actions": jnp.concatenate(
                         [b["actions"][T:], rows[f"actions_{tag}"]], axis=0
@@ -508,25 +528,33 @@ class TrainerDDPG(TrainerBase):
                     norm_j = normalize_across_env_agents(
                         j[:valid], algo.normalize_return
                     )
-                    return -norm_j.mean()
+                    # aux: the TRUE mean J = Q(s, pi(s)) for metrics (the
+                    # critic-side aux computed it from Q(s, a_buffer))
+                    return -norm_j.mean(), j[:valid].mean()
 
                 if with_metrics:
                     c_grads, metrics = jax.grad(
                         critic_loss_fn, has_aux=True
                     )(nets["critic"][tag])
-                    (a_loss, a_grads) = jax.value_and_grad(actor_loss_fn)(
+                    ((a_loss, mean_j), a_grads) = jax.value_and_grad(
+                        actor_loss_fn, has_aux=True
+                    )(
                         nets["actor"][tag],
                         jax.lax.stop_gradient(nets["critic"][tag]),
                     )
                     # the critic-side aux metrics computed "Actor loss"
-                    # from Q(s, a); report the true -mean Q(s, pi(s))
+                    # and "Mean J function" from Q(s, a_buffer); report
+                    # the true values from the actor path Q(s, pi(s))
                     metrics["Actor loss"] = a_loss
+                    metrics["Mean J function"] = mean_j
                     metrics["Total loss"] = a_loss + metrics["Critic loss"]
                 else:
                     c_grads = jax.grad(
                         lambda cp: critic_loss_fn(cp)[0]
                     )(nets["critic"][tag])
-                    a_grads = jax.grad(actor_loss_fn)(
+                    a_grads = jax.grad(
+                        lambda *a: actor_loss_fn(*a)[0]
+                    )(
                         nets["actor"][tag],
                         jax.lax.stop_gradient(nets["critic"][tag]),
                     )
@@ -692,9 +720,16 @@ class TrainerDDPG(TrainerBase):
         from flax import serialization
 
         timesteps = set()
+        loaded = []
         for policy, paths in ckpt_filepaths.items():
+            if not isinstance(paths, dict):
+                raise TypeError(
+                    f"DDPG checkpoints are per-net: expected "
+                    f"{{'actor': path, 'critic': path}} for {policy!r}, "
+                    f"got {type(paths).__name__}"
+                )
             for net in ("actor", "critic"):
-                path = paths.get(net, "") if isinstance(paths, dict) else ""
+                path = paths.get(net, "")
                 if not path:
                     continue
                 with open(path, "rb") as f:
@@ -706,12 +741,13 @@ class TrainerDDPG(TrainerBase):
                 self.params[net][policy] = serialization.from_bytes(
                     template, payload
                 )
+                loaded.append((net, policy))
                 stem = os.path.basename(path).split(".")[0]
                 timesteps.add(int(stem.split("_")[-1]))
         if timesteps:
             assert len(timesteps) == 1, "checkpoints disagree on the timestep"
             self.current_timestep = timesteps.pop()
-        self._rebuild_carry_params()
+        self._rebuild_carry_params(loaded)
 
     # ------------------------------------------------------- eager backend
     def _act_params(self):
