@@ -69,3 +69,72 @@ def test_split_step_engine_has_pure_fast_path():
         np.asarray(eng.observe(state2)),
         rtol=1e-6,
     )
+
+
+def test_reset_after_stepping_actually_resets():
+    """Regression: the first reset() call used to be a no-op even after
+    step_all_envs had advanced the state, returning mid-episode state as
+    'reset observations'."""
+    import numpy as np
+
+    from warpdrive_tpu.envs import register_all_envs
+    from warpdrive_tpu.envs.engine import EnvEngine
+
+    register_all_envs()
+    eng = EnvEngine(
+        env_name="ClassicControlCartPoleEnv",
+        env_config={"episode_length": 50, "reset_pool_size": 0, "seed": 4},
+        num_envs=4,
+        seed=1,
+    )
+    for _ in range(3):
+        eng.step_all_envs(np.ones((4, 1), dtype=np.int32))
+    assert int(np.asarray(eng.state["_timestep_"]).max()) == 3
+    eng.reset()
+    assert int(np.asarray(eng.state["_timestep_"]).max()) == 0
+
+
+def test_pool_reset_requires_obs_refresh_path():
+    """Regression: reset pools in a mode without the post-reset obs
+    refresh (e.g. no observe_fn) must be rejected loudly instead of
+    silently serving one step of stale observations per pool reset."""
+    import numpy as np
+    import pytest
+
+    from warpdrive_tpu.envs.base import TpuEnvironmentContext
+    from warpdrive_tpu.envs.engine import EnvEngine
+    from warpdrive_tpu.utils.data_feed import DataFeed
+    from warpdrive_tpu.utils.spaces import Discrete
+
+    class PoolNoObserveEnv(TpuEnvironmentContext):
+        """Minimal env with a reset pool but NO observe_fn."""
+
+        def __init__(self, episode_length=10, seed=0):
+            self.num_agents = 1
+            self.episode_length = episode_length
+            self.action_space = {0: Discrete(2)}
+            self.observation_space = None
+
+        def reset(self):
+            return {0: np.zeros(3, dtype=np.float32)}
+
+        def get_data_dictionary(self):
+            feed = DataFeed()
+            feed.add_data(
+                "pos", np.zeros(3, np.float32),
+                save_copy_and_apply_at_reset=True,
+            )
+            return feed
+
+        def get_reset_pool_dictionary(self):
+            feed = DataFeed()
+            feed.add_pool_for_reset(
+                "pos_pool", np.random.rand(5, 3).astype(np.float32), "pos"
+            )
+            return feed
+
+        def step_fn(self, state):
+            return state
+
+    with pytest.raises(NotImplementedError, match="reset pools"):
+        EnvEngine(env_obj=PoolNoObserveEnv(), num_envs=2, seed=0)

@@ -32,9 +32,8 @@ from warpdrive_tpu.utils.argument_fix import Argfix
 from warpdrive_tpu.core.state import StateStore
 from warpdrive_tpu.envs.base import TpuEnvironmentContext
 from warpdrive_tpu.utils.constants import Constants
-from warpdrive_tpu.utils.data_feed import DataFeed
 from warpdrive_tpu.utils.env_registrar import env_registrar as default_registrar
-from warpdrive_tpu.utils.spaces import Box, Discrete, MultiDiscrete
+from warpdrive_tpu.utils.spaces import Box
 
 _OBS = Constants.OBSERVATIONS
 _ACTIONS = Constants.ACTIONS
@@ -115,6 +114,19 @@ class EnvEngine:
                 tag: np.asarray(sorted(int(i) for i in ids), dtype=np.int32)
                 for tag, ids in policy_tag_to_agent_id_map.items()
             }
+            # groups must be disjoint (an overlapping agent would take
+            # whichever policy's reward/action was written last) and, in
+            # separate-placeholder mode, cover every agent (unmapped agents
+            # would silently read zero rewards from rewards_of)
+            all_ids = np.concatenate(list(self._policy_ids.values()))
+            assert len(all_ids) == len(set(all_ids.tolist())), (
+                "policy_tag_to_agent_id_map groups overlap"
+            )
+            if create_separate_placeholders_for_each_policy:
+                assert set(all_ids.tolist()) == set(range(self.n_agents)), (
+                    "separate-placeholder mode requires the policy map to "
+                    f"cover all {self.n_agents} agents; got {sorted(all_ids)}"
+                )
         else:
             self._policy_ids = None
         if self.separate_placeholders:
@@ -197,6 +209,19 @@ class EnvEngine:
 
             self.auto_reset = auto_reset
         else:
+            if self.store.pools:
+                # Without the refresh above, every pool reset would serve
+                # ONE step of observations computed from the fixed snapshot
+                # while the physical state is a random pool row — reject
+                # loudly instead of silently training on stale obs.
+                raise NotImplementedError(
+                    "reset pools currently require the shared Box "
+                    "observations placeholder and an env observe_fn (the "
+                    "post-reset obs refresh is only implemented there); "
+                    f"got obs_mode={self.obs_mode!r}, separate_placeholders"
+                    f"={self.separate_placeholders}, observe_fn="
+                    f"{observe_single_for_reset is not None}"
+                )
             self.auto_reset = base_auto_reset
 
         env_step_single = self.env.step_fn
@@ -325,18 +350,21 @@ class EnvEngine:
             out = out.at[:, jnp.asarray(ids)].set(state[f"{_REWARDS}_{tag}"])
         return out
 
+    def _obs_names(self) -> list:
+        """All obs placeholder state names, across groups."""
+        if self.separate_placeholders:
+            names = []
+            for tag in sorted(self._policy_ids):
+                names += self.obs_entry_names(tag)
+            return names
+        return self.obs_entry_names()
+
     def _obs_view(self) -> "np.ndarray | dict":
         """Host view of the obs placeholders: one array for the shared-Box
         mode, else ``{state_name: array}``."""
         if self.obs_mode == "box" and not self.separate_placeholders:
             return np.asarray(self.state[_OBS])
-        names = []
-        if self.separate_placeholders:
-            for tag in sorted(self._policy_ids):
-                names += self.obs_entry_names(tag)
-        else:
-            names = self.obs_entry_names()
-        return {name: np.asarray(self.state[name]) for name in names}
+        return {name: np.asarray(self.state[name]) for name in self._obs_names()}
 
     # ------------------------------------------------------- stateful facade
     def _next_key(self):
@@ -359,6 +387,7 @@ class EnvEngine:
     def reset_only_done_envs(self):
         """Soft reset of finished replicas only (``env_wrapper.py:358-374``)."""
         assert self.env_backend == "tpu"
+        self._first_reset_done = True  # a later reset() must force-reset
         self.state = self._jit_done_reset(self.state, self._next_key())
 
     def step_all_envs(self, actions) -> dict:
@@ -368,14 +397,16 @@ class EnvEngine:
         — and return views of obs/rew/done (``env_wrapper.py:380-390``).
         """
         assert self.env_backend == "tpu"
+        # once stepped, reset() may no longer treat the state as pristine
+        self._first_reset_done = True
         if not isinstance(actions, dict):
             actions = jnp.asarray(actions)
         self.state = self._jit_step(self.state, actions)
         out = {Constants.DONE: self.state[Constants.DONE]}
-        if self.obs_mode == "box" and not self.separate_placeholders:
-            out[_OBS] = self.state[_OBS]
-        else:
-            out.update(self._obs_view())
+        # device arrays in every mode (no forced host transfer per step;
+        # callers np.asarray when they want host copies)
+        for name in self._obs_names():
+            out[name] = self.state[name]
         for name in self.reward_entry_names():
             out[name] = self.state[name]
         return out

@@ -36,12 +36,19 @@ from warpdrive_tpu.utils.spaces import Box, Discrete, MultiDiscrete
 _OBS = Constants.OBSERVATIONS
 _ACTIONS = Constants.ACTIONS
 _REWARDS = Constants.REWARDS
-_ACTION_MASK = Constants.ACTION_MASK
+# (action masks ride as a Dict-obs key — see trainer_base._policy_obs_and_mask)
 
 
 def all_equal(iterable) -> bool:
     items = list(iterable)
     return all(x == items[0] for x in items[1:])
+
+
+def _shape_of(v):
+    """Shape of a space-like or array-like dict value (``np.asarray`` on a
+    Space object is a 0-d object array whose shape compares vacuously)."""
+    shp = getattr(v, "shape", None)
+    return tuple(shp) if shp is not None else np.asarray(v).shape
 
 
 def validate_obs_action_spaces(agent_ids, observation_space, action_space):
@@ -55,7 +62,7 @@ def validate_obs_action_spaces(agent_ids, observation_space, action_space):
     if isinstance(first, dict):
         assert all_equal(tuple(s.keys()) for s in obs_spaces)
         assert all_equal(
-            tuple(np.asarray(v).shape for v in s.values()) for s in obs_spaces
+            tuple(_shape_of(v) for v in s.values()) for s in obs_spaces
         )
     elif isinstance(first, Box):
         assert all_equal(s.shape for s in obs_spaces)
@@ -104,7 +111,10 @@ def get_obs_group(
         stacked = np.asarray([np.asarray(obs[aid][obs_key]) for aid in agent_ids])
     else:
         stacked = np.asarray([np.asarray(obs[aid]) for aid in agent_ids])
-    if obs_dim_corresponding_to_num_agents == "last" and len(agent_ids) > 1:
+    if obs_dim_corresponding_to_num_agents == "last":
+        # the swap applies to single-agent groups too: an agent-dim-last
+        # env writes its natural (feat, agents) layout even when a group
+        # has one agent, so the placeholder must be (feat, 1), not (1, feat)
         assert stacked.ndim <= 2, (
             "obs_dim_corresponding_to_num_agents='last' supports 1-D "
             f"per-agent features only (got feature shape "
@@ -122,6 +132,10 @@ def _action_spec(space):
     if isinstance(space, MultiDiscrete):
         return len(space.nvec), np.int32
     if isinstance(space, Box):
+        assert len(space.shape) == 1, (
+            f"continuous action spaces must be 1-D, got shape {space.shape} "
+            "(flatten multi-dimensional actions in the env)"
+        )
         return int(space.shape[0]), np.float32
     raise NotImplementedError(repr(space))
 
