@@ -219,7 +219,10 @@ class TrainerBase:
             self.act_space[tag] = self.engine.action_space[first]
 
         # ---------------- seeding (reference :248-256) -----------------------
-        seed = int(trainer_cfg.get("seed", np.random.randint(10_000_000)))
+        seed = trainer_cfg.get("seed")
+        # lazy default: an unconditional np.random.randint would consume
+        # the GLOBAL numpy RNG even when an explicit seed is configured
+        seed = int(np.random.randint(10_000_000) if seed is None else seed)
         seed += self.device_id + jax.process_index() * 1000
         self.seed = seed
         self._rng = jax.random.PRNGKey(seed)
@@ -261,6 +264,7 @@ class TrainerBase:
         self._iteration_fn_fast = None
         self._carry = None
         self._eval_fns = {}  # use_argmax -> jitted evaluation program
+        self._fetch_fns = {}  # (signature) -> jitted episode-fetch program
 
         logging.info(
             "TrainerBase: %d envs x %d agents, batch/env=%d, iters=%d, seed=%d",
@@ -304,18 +308,6 @@ class TrainerBase:
     def _next_rng(self):
         self._rng, sub = jax.random.split(self._rng)
         return sub
-
-    def _flatten_obs_features(self, obs: jnp.ndarray) -> jnp.ndarray:
-        """(..., *feat) -> (..., flat) keeping the leading (T/E/agent) axes."""
-        lead = obs.shape[:3] if obs.ndim > 3 else obs.shape[:2]
-        return obs.reshape(lead + (-1,))
-
-    def _gather_policy_obs(self, state_obs: jnp.ndarray, tag: str) -> jnp.ndarray:
-        """Gather one policy's agents from the shared obs placeholder and
-        flatten features (reference ``model_base.py:133-186``)."""
-        ids = jnp.asarray(self.policy_tag_to_agent_id_map[tag])
-        obs_p = jnp.take(state_obs, ids, axis=1)  # (E, Ap, *feat)
-        return obs_p.reshape(obs_p.shape[:2] + (-1,))
 
     def _gather_policy_mask(self, env_state, tag):
         """Per-policy slice of a shared ``action_mask`` state array, if the
@@ -428,6 +420,14 @@ class TrainerBase:
         )
         steps_per_iter = self.training_batch_size_per_env * self.num_envs
 
+        if self.use_evaluator and not self._is_eager:
+            # compile (and warm) the evaluator program BEFORE any training
+            # work: its first call otherwise lands at a log point AFTER
+            # training has run — a trailing mid-run compile, which on TPU
+            # can wedge the process after the work but before the final
+            # checkpoint (CLAUDE.md rule 6). Results are discarded.
+            self.evaluate_episodes(use_argmax=True)
+
         window_start = time.time()
         window_iters = 0
         first_iteration = self.iters_completed
@@ -533,7 +533,6 @@ class TrainerBase:
             "iterations completed": self.iters_completed,
             "num timesteps": self.current_timestep,
             "metrics": metrics,
-            "perf_stats": self.perf_stats.get_perf_stats(),
             "speed performance stats": self.perf_stats.get_perf_stats(),
         }
         results_path = os.path.join(self.save_dir, "results.json")
@@ -789,22 +788,41 @@ class TrainerBase:
         params = self._act_params()
         T = engine.episode_length
 
-        def body(carry, key_t):
-            st, t = carry
-            actions = self._act_fn(params, st, key_t)
-            st = engine.step(st, actions)
-            rec = {name: st[name][env_id] for name in list_of_states}
-            if include_rewards_actions:
-                rec["_rewards"] = engine.rewards_of(st)[env_id]
-                # separate mode: merge the per-policy action dict
-                a_rec = (
-                    self._scatter_actions(actions)
-                    if isinstance(actions, dict)
-                    else actions
-                )
-                rec["_actions"] = a_rec[env_id]
-            rec["_done"] = st[Constants.DONE][env_id]
-            return (st, t + 1), rec
+        # cache the jitted episode program per argument signature — a fresh
+        # jit per call would recompile the full T-step scan every time the
+        # user fetches another episode (and each compile is a mid-run
+        # remote-compile exposure on TPU)
+        cache_key = (
+            "fetch",
+            tuple(list_of_states),
+            int(env_id),
+            bool(include_rewards_actions),
+        )
+        if cache_key not in self._fetch_fns:
+
+            def scan_fn(params, state0, keys):
+                def body(carry, key_t):
+                    st, t = carry
+                    actions = self._act_fn(params, st, key_t)
+                    st = engine.step(st, actions)
+                    rec = {
+                        name: st[name][env_id] for name in list_of_states
+                    }
+                    if include_rewards_actions:
+                        rec["_rewards"] = engine.rewards_of(st)[env_id]
+                        # separate mode: merge the per-policy action dict
+                        a_rec = (
+                            self._scatter_actions(actions)
+                            if isinstance(actions, dict)
+                            else actions
+                        )
+                        rec["_actions"] = a_rec[env_id]
+                    rec["_done"] = st[Constants.DONE][env_id]
+                    return (st, t + 1), rec
+
+                return jax.lax.scan(body, (state0, 0), keys)
+
+            self._fetch_fns[cache_key] = jax.jit(scan_fn)
 
         self.engine.reset_all_envs()
         state0 = dict(self.engine.state)
@@ -812,9 +830,7 @@ class TrainerBase:
             name: np.asarray(state0[name][env_id]) for name in list_of_states
         }
         keys = jax.random.split(self._next_rng(), T)
-        (_, _), recs = jax.jit(
-            lambda s, k: jax.lax.scan(body, (s, 0), k)
-        )(state0, keys)
+        (_, _), recs = self._fetch_fns[cache_key](params, state0, keys)
 
         done_t = np.asarray(recs["_done"])
         end = int(np.argmax(done_t > 0)) + 1 if (done_t > 0).any() else T
@@ -882,6 +898,11 @@ class TrainerBase:
         """
         from warpdrive_tpu.core.episode_log import EpisodeLogger
 
+        if self._is_eager:
+            raise NotImplementedError(
+                "fetch_logged_episode needs the device-side episode logger; "
+                "on the eager CPU backend use fetch_episode_states instead"
+            )
         engine = self.engine
         logger = EpisodeLogger(engine.store)
         assert logger.log_names, (
@@ -916,7 +937,12 @@ class TrainerBase:
         state0 = dict(self.engine.state)
         buffers0 = logger.init_buffers(state0, env_id)
         keys = jax.random.split(self._next_rng(), T)
-        buffers, done_t = jax.jit(run)(params, state0, buffers0, keys)
+        log_key = ("logged", int(env_id))
+        if log_key not in self._fetch_fns:
+            self._fetch_fns[log_key] = jax.jit(run)
+        buffers, done_t = self._fetch_fns[log_key](
+            params, state0, buffers0, keys
+        )
 
         done_t = np.asarray(done_t)
         last_step = int(np.argmax(done_t > 0)) + 1 if (done_t > 0).any() else T
@@ -1083,10 +1109,14 @@ class TrainerBase:
         t0 = jnp.asarray(0.0, jnp.float32)
         out, _ = undonated(carry, t0)  # compile outside the trace
         jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+        # chain each iteration's output carry into the next input: some TPU
+        # runtimes memoize repeated identical (program, inputs) executions
+        # (CLAUDE.md rule 5) — replaying (carry, t0) would trace a cache
+        carry = out
         with jax.profiler.trace(logdir):
             for _ in range(iterations):
-                out, _ = undonated(carry, t0)
-            jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+                carry, _ = undonated(carry, t0)
+            jax.block_until_ready(jax.tree_util.tree_leaves(carry)[0])
         return logdir
 
     def graceful_close(self):
