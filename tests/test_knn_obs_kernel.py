@@ -240,3 +240,35 @@ def test_knn_select_modes_match(select):
     obs_a = np.asarray(eng_a.observe(state))
     obs_b = np.asarray(eng_b.observe(state))
     np.testing.assert_array_equal(obs_a, obs_b)
+
+
+def test_knn_select_bf16pair_close():
+    """bf16pair (MXU hi/lo-bfloat16 one-hot matmul selection) must match
+    the fused selection to the hi/lo-split reconstruction error (~4e-6):
+    the one-hot LHS selects rows exactly, so the only deviation is the
+    bfloat16 rounding of the lo residual."""
+    import numpy as np
+
+    import jax
+
+    from warpdrive_tpu.envs.engine import EnvEngine
+    from warpdrive_tpu.envs.tag_continuous import TpuTagContinuous
+
+    kwargs = dict(
+        num_taggers=3, num_runners=12, grid_length=8.0, episode_length=12,
+        use_full_observation=False, num_other_agents_observed=4, seed=5,
+        knn_algorithm="packed",
+    )
+    eng_a = EnvEngine(env_obj=TpuTagContinuous(knn_select="fused", **kwargs),
+                      num_envs=3, seed=2)
+    eng_b = EnvEngine(
+        env_obj=TpuTagContinuous(knn_select="bf16pair", **kwargs),
+        num_envs=3, seed=2)
+    state = dict(eng_a.state)
+    state["loc_x"] = jax.random.uniform(
+        jax.random.PRNGKey(4), state["loc_x"].shape) * 8.0
+    state["loc_y"] = jax.random.uniform(
+        jax.random.PRNGKey(5), state["loc_y"].shape) * 8.0
+    obs_a = np.asarray(eng_a.observe(state))
+    obs_b = np.asarray(eng_b.observe(state))
+    np.testing.assert_allclose(obs_a, obs_b, atol=2e-5, rtol=0)

@@ -116,8 +116,14 @@ class TagContinuous:
         assert knn_algorithm in ("passes", "topk", "ladder", "packed", "pallas")
         # knn_select picks how neighbor features are pulled once the slot
         # indices are known (topk/ladder/packed only): "fused" one-hot
-        # masked-sum (default) or "gather" take_along_axis (see observe_fn)
-        assert knn_select in ("fused", "gather")
+        # masked-sum (default), "gather" take_along_axis, or "bf16pair" —
+        # an MXU one-hot matmul with each f32 feature split into a hi/lo
+        # bfloat16 pair (the 0/1 one-hot LHS selects exactly; recombining
+        # hi+lo leaves ~4e-6 absolute error from the lo-residual rounding).
+        # The bf16 one-hot operand streams half the HBM bytes of an f32
+        # einsum, measured ~10% faster whole-loop than "fused" on v5e
+        # (artifacts/round2/tpu_knn_select_mxu.log).
+        assert knn_select in ("fused", "gather", "bf16pair")
         self.knn_select = knn_select
         self.knn_algorithm = knn_algorithm
         assert num_taggers > 0 and num_runners > 0 and episode_length > 0
@@ -781,6 +787,25 @@ class TpuTagContinuous(TagContinuous, TpuEnvironmentContext):
                         am_all.reshape(1, 1, N * k),
                         axis=2,
                     ).reshape(6, N, k).transpose(1, 2, 0)  # (N, k, 6)
+                elif self.knn_select == "bf16pair":
+                    # MXU selection: one-hot (N*k, N) bf16 LHS @ hi/lo
+                    # feature pairs (N, 12) bf16 RHS with f32 accumulation.
+                    # x - bf16(x) is exact in f32, so hi+lo reconstructs
+                    # src6 to ~2^-17 relative; a one-hot row selects one
+                    # RHS row exactly (no accumulation error).
+                    hi = src6.astype(jnp.bfloat16)
+                    lo = (src6 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                    pair = jnp.concatenate([hi, lo], axis=0)  # (12, N)
+                    onehot16 = (
+                        col_j[:, None, :] == am_all[:, :, None]
+                    ).astype(jnp.bfloat16)  # (N, k, N)
+                    sel = lax.dot_general(
+                        onehot16.reshape(N * k, N),
+                        pair.T,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).reshape(N, k, 12)
+                    nbr = sel[:, :, :6] + sel[:, :, 6:]  # (N, k, 6)
                 else:
                     onehot_b = (
                         col_j[:, None, :] == am_all[:, :, None]

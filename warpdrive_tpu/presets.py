@@ -84,6 +84,12 @@ def build_flagship(num_envs: int = 64, fc_dims=(256, 256), seed: int = 0,
     # artifacts/round2/tpu_knn_tie_diag2.log) — immaterial for RL rollouts;
     # pass knn_algorithm="passes"/"ladder" for bit-exact selection
     kwargs.setdefault("knn_algorithm", "packed")
+    # neighbor-feature selection default: "bf16pair" — MXU one-hot matmul
+    # with hi/lo bfloat16 feature pairs, ~10% faster whole-loop than the
+    # fused VPU masked-sum on v5e (822K vs 747K env-steps/s env-only,
+    # artifacts/round2/tpu_knn_select_mxu.log) at ~4e-6 absolute obs
+    # error; pass knn_select="fused" for exact selection
+    kwargs.setdefault("knn_select", "bf16pair")
     if knn_algorithm is not None:
         kwargs["knn_algorithm"] = knn_algorithm
     if knn_select is not None:
