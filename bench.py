@@ -234,6 +234,60 @@ def main():
     except Exception as exc:
         print(f"[bench] training stage failed: {exc}", file=sys.stderr, flush=True)
 
+    # discrete-Tag env-simulation rate: the configuration class the
+    # reference's headline ~9.8M env-steps/s figure actually measures
+    # (JMLR 23(316): discrete Tag, 5 agents, 2000 envs, V100).  Random
+    # actions + observation build + done-driven auto-reset in one scan.
+    try:
+        print("[bench] compiling + timing TagGridWorld env-only rollout...",
+              file=sys.stderr, flush=True)
+        from warpdrive_tpu.utils.constants import Constants as _C
+
+        genv = TpuTagGridWorld(
+            num_taggers=4, grid_length=20, episode_length=100, seed=7,
+            use_full_observation=False,
+        )
+        gengine = EnvEngine(env_obj=genv, num_envs=t_envs, seed=7)
+        g_state = dict(gengine.state)
+        g_nact = genv.action_space[0].n
+        g_nagents = gengine.n_agents
+
+        # TagGridWorld computes obs inside step_fn (no split-step physics/
+        # observe pair), so the env-only loop uses the engine's pure
+        # ``step`` program; the obs checksum keeps the obs write live.
+        def g_env_step(carry, key):
+            state, checksum = carry
+            k_act, k_reset = jax.random.split(key)
+            actions = jax.random.randint(
+                k_act, (t_envs, g_nagents), 0, g_nact, dtype=jnp.int32
+            )
+            state = gengine.step(state, actions)
+            checksum = checksum + state[_C.OBSERVATIONS].sum()
+            return gengine.auto_reset(state, k_reset), checksum
+
+        g_rate = rollout_rate(
+            g_env_step, (g_state, jnp.zeros(())), n_steps, t_envs, key
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "tag_gridworld_env_steps_per_sec",
+                    "value": round(g_rate),
+                    "unit": "env_steps/s",
+                    "vs_baseline": round(g_rate / BASELINE_ENV_STEPS_PER_S, 4),
+                    "num_envs": t_envs,
+                    "num_agents": int(g_nagents),
+                    "platform": platform,
+                }
+            ),
+            flush=True,
+        )
+        print(f"[bench] TagGridWorld env-only: {g_rate:,.0f} env-steps/s",
+              file=sys.stderr, flush=True)
+    except Exception as exc:
+        print(f"[bench] gridworld env-only stage failed: {exc}",
+              file=sys.stderr, flush=True)
+
     # flagship training throughput: the FULL two-policy adversarial A2C
     # iteration on TagContinuous at the reference's own config scale
     # (tag_continuous.yaml: 100 envs, 500-step episodes, 5 taggers + 100
@@ -251,7 +305,7 @@ def main():
         T_f = 500 if on_tpu else 20
         fenv = TpuTagContinuous(
             **dict(FLAGSHIP_ENV_KWARGS, seed=274880,
-                   knn_algorithm="packed"))
+                   knn_algorithm="packed", knn_select="bf16pair"))
         fengine = _EE(env_obj=fenv, num_envs=f_envs, seed=31)
         pmap = {
             "tagger": [i for i in range(fenv.num_agents)
@@ -312,7 +366,7 @@ def main():
         t_envs2, T_2 = 2000, 100
         fenv2 = TpuTagContinuous(
             **dict(FLAGSHIP_ENV_KWARGS, seed=274880,
-                   knn_algorithm="packed"))
+                   knn_algorithm="packed", knn_select="bf16pair"))
         fengine2 = _EE(env_obj=fenv2, num_envs=t_envs2, seed=31)
         pmap2 = {
             "tagger": [i for i in range(fenv2.num_agents)
