@@ -109,7 +109,12 @@ def main():
             _emit_error("device_init_cpu_fallback", exc2)
             sys.exit(1)
     on_tpu = platform == "tpu"
-    num_envs = 2000 if on_tpu else 32
+    # 1000 replicas: the north-star config floor ("1000+ replicas",
+    # BASELINE.json) and the measured optimum for the bf16pair obs path —
+    # the post-bf16pair sweep (artifacts/round2/tpu_envsweep_bf16pair.log)
+    # is monotonically decreasing in env count: 955K @ 1000, 822K @ 2000,
+    # 689K @ 4000 env-steps/s.
+    num_envs = 1000 if on_tpu else 32
     n_steps = 500 if on_tpu else 20
 
     try:
