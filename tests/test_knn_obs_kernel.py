@@ -92,7 +92,7 @@ def test_kernel_matches_pure_jax_observe(num_agents, k, variant):
     )
 
 
-@pytest.mark.parametrize("algo", ["topk", "ladder", "packed"])
+@pytest.mark.parametrize("algo", ["topk", "ladder", "packed", "approx"])
 def test_knn_algorithm_matches_passes(algo):
     """Every alternative kNN observation algorithm must equal the k-round
     argmin rewrite loop ("passes") — exactly for "topk" (stable
@@ -179,7 +179,7 @@ def test_pallas_observe_batch_wiring():
     )
 
 
-@pytest.mark.parametrize("algo", ["ladder", "packed"])
+@pytest.mark.parametrize("algo", ["ladder", "packed", "approx"])
 def test_knn_algorithm_beyond_pallas_lane_limit(algo):
     """The XLA kNN paths must keep working past the Pallas kernel's
     128-lane cap (reference supports up to 1024 agents/env): 150 agents,

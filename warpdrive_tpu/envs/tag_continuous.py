@@ -108,12 +108,22 @@ class TagContinuous:
         #             lattice-like (discrete speed/turn levels), so such
         #             near-ties DO occur; use for throughput benching, not
         #             for bit-exact consistency runs;
+        #   "approx": jax.lax.approx_min_k — the TPU-native PartialReduce
+        #             partial-sort (the op TPUs expose exactly for this):
+        #             ONE pass over the distance matrix returns all k
+        #             smallest values AND their indices, vs the ladder's k
+        #             re-read passes.  recall_target=1.0 +
+        #             aggregate_to_topk give exact k-smallest selection
+        #             (ties broken by lowest index, verified against
+        #             "passes" in tests);
         #   "pallas": the fused VMEM-resident kernel (ops/knn_obs.py) as a
         #             batched observe (NOT composable into lax.scan bodies
         #             if the Mosaic pallas-in-scan limitation still holds —
         #             use for out-of-scan observation serving/benching, or
         #             after the staged experiments confirm scan support).
-        assert knn_algorithm in ("passes", "topk", "ladder", "packed", "pallas")
+        assert knn_algorithm in (
+            "passes", "topk", "ladder", "packed", "approx", "pallas"
+        )
         # knn_select picks how neighbor features are pulled once the slot
         # indices are known (topk/ladder/packed only): "fused" one-hot
         # masked-sum (default), "gather" take_along_axis, or "bf16pair" —
@@ -681,6 +691,20 @@ class TpuTagContinuous(TagContinuous, TpuEnvironmentContext):
                 neg_vals, nbr_idx = lax.top_k(-d2, k)  # (N, k) each
                 am_all = nbr_idx.astype(jnp.int32)  # (N, k)
                 valid_all = (neg_vals > -_BIG).astype(jnp.float32)
+            elif self.knn_algorithm == "approx":
+                # ONE PartialReduce pass (the TPU ISA's native partial-sort,
+                # which lax.top_k's generic sort lowering does NOT use):
+                # returns the k smallest distances + their column indices.
+                # recall_target=1.0 makes the reduction exact; ties break by
+                # lowest index (verified against "passes" in
+                # tests/test_knn_obs_kernel.py and on-chip,
+                # artifacts/round3).  Replaces the packed ladder's k
+                # sequential min-reductions (k re-reads of the N^2 matrix)
+                # with one traversal — the HBM-bound cost of the flagship
+                # observe (docs/performance.md §6).
+                vals, nbr_idx = lax.approx_min_k(d2, k, recall_target=1.0)
+                am_all = nbr_idx.astype(jnp.int32)  # (N, k)
+                valid_all = (vals < _BIG).astype(jnp.float32)
             elif self.knn_algorithm in ("ladder", "packed"):
                 # Monotonic ladder: d2 is materialized ONCE and never
                 # rewritten.  Slot s selects "min over entries
