@@ -60,6 +60,23 @@ class TrainerA2C(TrainerBase):
         self.policy_remat = {}
         self.mb_shuffle = {}
 
+        # trainer.update_recompute_obs: on split-step envs, the rollout
+        # records the compact PHYSICAL state per step instead of the
+        # (T, E, A, F) observation batch; the update re-derives observations
+        # inside the loss forward (engine.observe on each stored state).
+        # Extends docs/performance.md §3 ("observations are derived, not
+        # carried") from the rollout carry to the training batch: the
+        # dominant HBM buffer shrinks ~9-15x on the flagship (the reference
+        # must materialize the whole obs batch for its torch forward,
+        # trainer_a2c.py:218-259).  Costs one extra obs build per update
+        # pass — a throughput A/B, hence a knob; memory-bound configs want
+        # it on.
+        self._recompute_obs = (
+            bool(config["trainer"].get("update_recompute_obs", False))
+            and self.engine.has_split_step
+            and not self._is_eager
+        )
+
         init_rng = self._next_rng()
         self.engine.reset_all_envs()  # builds the initial state
 
@@ -228,6 +245,20 @@ class TrainerA2C(TrainerBase):
     # _scatter_actions lives in TrainerBase; discrete action components
     _action_dtype = jnp.int32
 
+    def _derive_obs(self, phys_batch, tag):
+        """Re-derive one policy's (T, E, A_p, F) observations (+ mask) from
+        the recorded physical-state batch (``update_recompute_obs``): vmap
+        ``engine.observe`` + the policy gather over the time axis — the
+        same code path the rollout used, so the update sees the exact
+        observations the actions were sampled from (up to reduction-order
+        rounding across the two programs)."""
+
+        def one(ph):
+            obs_all = self.engine.observe(ph)
+            return self._policy_obs_and_mask(ph, obs_all, tag)
+
+        return jax.vmap(one)(phys_batch)
+
     def _build_act_fn(self):
         """(params, env_state, key[, use_argmax]) -> actions for all agents."""
 
@@ -260,6 +291,7 @@ class TrainerA2C(TrainerBase):
         batch_dtype = jnp.dtype(
             self.config["trainer"].get("batch_dtype", "float32")
         )
+        recompute_obs = self._recompute_obs
 
         def rollout(params, rollout_carry, step_keys):
             def rollout_step(rs_carry, key_t):
@@ -271,6 +303,15 @@ class TrainerA2C(TrainerBase):
                 )
                 per_policy_actions = {}
                 rec = {}
+                if recompute_obs:
+                    # record the PRE-step physical state (what observe reads)
+                    # instead of any obs batch; rewards/done are recorded
+                    # separately below
+                    rec["phys"] = {
+                        k: v
+                        for k, v in env_state.items()
+                        if k != _DONE and not k.startswith(_REWARDS)
+                    }
                 sample_keys = jax.random.split(k_sample, len(policies))
                 for sk, tag in zip(sample_keys, policies):
                     obs_p, mask_p = self._policy_obs_and_mask(
@@ -281,10 +322,11 @@ class TrainerA2C(TrainerBase):
                     )
                     actions_p = self._sample_policy_actions(tag, sk, logits_list)
                     per_policy_actions[tag] = actions_p
-                    rec[f"obs_{tag}"] = obs_p.astype(batch_dtype)
                     rec[f"actions_{tag}"] = actions_p
-                    if mask_p is not None:
-                        rec[f"mask_{tag}"] = mask_p
+                    if not recompute_obs:
+                        rec[f"obs_{tag}"] = obs_p.astype(batch_dtype)
+                        if mask_p is not None:
+                            rec[f"mask_{tag}"] = mask_p
 
                 actions = (
                     per_policy_actions
@@ -364,16 +406,20 @@ class TrainerA2C(TrainerBase):
             down_keys = jax.random.split(k_down, max(len(trained), 1))
             for dk, tag in zip(down_keys, trained):
                 algo = self.algorithms[tag]
-                obs_b = batch[f"obs_{tag}"]
+                if self._recompute_obs:
+                    obs_b, mask_b, phys_b = None, None, batch["phys"]
+                else:
+                    obs_b, phys_b = batch[f"obs_{tag}"], None
+                    mask_b = batch.get(f"mask_{tag}")
                 act_b = batch[f"actions_{tag}"]
                 rew_b = batch[f"rewards_{tag}"]
                 done_b = batch["done"]
 
-                mask_b = batch.get(f"mask_{tag}")
-
                 def loss_fn(p, old_lp=None, tag=tag, obs_b=obs_b, act_b=act_b,
                             rew_b=rew_b, done_b=done_b, dk=dk, algo=algo,
-                            mask_b=mask_b):
+                            mask_b=mask_b, phys_b=phys_b):
+                    if obs_b is None:
+                        obs_b, mask_b = self._derive_obs(phys_b, tag)
                     logits_list, values = self._policy_forward(
                         tag, p, obs_b, action_mask=mask_b,
                         remat=self.policy_remat.get(tag, False),
@@ -407,8 +453,12 @@ class TrainerA2C(TrainerBase):
                         _logp_and_entropy,
                     )
 
+                    if obs_b is None:
+                        obs0, mask0 = self._derive_obs(phys_b, tag)
+                    else:
+                        obs0, mask0 = obs_b, mask_b
                     logits0, _ = self._policy_forward(
-                        tag, p_cur, obs_b, action_mask=mask_b
+                        tag, p_cur, obs0, action_mask=mask0
                     )
                     old_lp, _ = _logp_and_entropy(logits0, batch[f"actions_{tag}"])
                     old_lp = jax.lax.stop_gradient(old_lp)
@@ -481,9 +531,17 @@ class TrainerA2C(TrainerBase):
                                     x, idx, mb_size, axis=1
                                 )
                             )
+                        if obs_b is None:
+                            # slice the physical state, derive obs for this
+                            # minibatch only (never materializes the full
+                            # obs batch)
+                            phys_mb = jax.tree_util.tree_map(take, phys_b)
+                            obs_mb, mask_mb = self._derive_obs(phys_mb, tag)
+                        else:
+                            obs_mb, mask_mb = take(obs_b), take(mask_b)
                         logits_list, values = self._policy_forward(
-                            tag, p, take(obs_b),
-                            action_mask=take(mask_b),
+                            tag, p, obs_mb,
+                            action_mask=mask_mb,
                             remat=self.policy_remat.get(tag, False),
                         )
                         return algo.compute_loss_and_metrics(
