@@ -100,8 +100,15 @@ class EnvEngine:
             self.env.observation_space = {
                 aid: _infer_agent_space(obs[aid]) for aid in self._agent_ids
             }
-        self.action_space = self.env.action_space
-        self.observation_space = self.env.observation_space
+        # gym interop: envs may declare real gym/gymnasium spaces
+        # (reference env_wrapper.py:107-112); normalize once at the boundary
+        # so everything downstream sees only native space types
+        from warpdrive_tpu.utils.spaces import normalize_space_map
+
+        self.action_space = normalize_space_map(self.env.action_space)
+        self.observation_space = normalize_space_map(
+            self.env.observation_space
+        )
 
         # --- placeholder-mode bookkeeping (reference data_loader.py:30-267) -
         self.create_separate_placeholders_for_each_policy = bool(
@@ -361,10 +368,13 @@ class EnvEngine:
 
     def _obs_view(self) -> "np.ndarray | dict":
         """Host view of the obs placeholders: one array for the shared-Box
-        mode, else ``{state_name: array}``."""
+        mode, else ``{state_name: array}`` (cross-process safe: sharded
+        arrays all-gather in a multi-process run)."""
+        from warpdrive_tpu.parallel.mesh import to_host
+
         if self.obs_mode == "box" and not self.separate_placeholders:
-            return np.asarray(self.state[_OBS])
-        return {name: np.asarray(self.state[name]) for name in self._obs_names()}
+            return to_host(self.state[_OBS])
+        return {name: to_host(self.state[name]) for name in self._obs_names()}
 
     # ------------------------------------------------------- stateful facade
     def _next_key(self):

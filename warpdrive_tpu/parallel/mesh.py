@@ -18,9 +18,13 @@ the mesh construction (``jax.distributed.initialize`` +
 ``jax.devices()`` spanning all processes); the training code is unchanged.
 
 Determinism parity: the reference offsets the seed by device rank
-(``trainer_base.py:249-256``); here a single global seed drives one
-program, so all replicas are reproducible by construction, and multi-host
-runs fold ``jax.process_index()`` into the seed at trainer level.
+(``trainer_base.py:249-256``); here a single global seed drives one SPMD
+program, so all replicas are reproducible by construction.  In a
+multi-process run every process MUST use the identical seed: host-side
+values (engine state, trainer carries, rng keys) are replicated program
+inputs, and GSPMD semantics require them equal across processes — the
+per-rank seed offsetting the reference needs is exactly the machinery
+this design deletes.
 """
 
 from __future__ import annotations
@@ -32,6 +36,49 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 ENV_AXIS = "env"
 MODEL_AXIS = "model"
+
+
+def _put(x, sharding):
+    """``jax.device_put`` that also works on CROSS-PROCESS shardings.
+
+    In a multi-process run (``jax.distributed.initialize``), a sharding
+    spans devices this process cannot address; the host value is then
+    required to be IDENTICAL in every process (true here: engine state and
+    trainer carries are built deterministically from the config seed), and
+    the array is assembled from each process's addressable shards.
+    """
+    x = jax.numpy.asarray(x)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    try:
+        return jax.device_put(x, sharding)
+    except ValueError:
+        # older device_put paths reject non-addressable shardings for
+        # committed device arrays; rebuild from the host value per shard
+        host = np.asarray(x)
+        return jax.make_array_from_callback(
+            host.shape, sharding, lambda idx: host[idx]
+        )
+
+
+def to_host(x) -> np.ndarray:
+    """Host ``np.ndarray`` of a possibly CROSS-PROCESS ``jax.Array``.
+
+    Single-process (and anything fully addressable): a plain
+    ``np.asarray``.  In a multi-process run, replicated leaves (params,
+    metrics scalars) read from the local shard; env-sharded leaves
+    all-gather across processes (facade/logging convenience only — the
+    hot paths never call this).
+    """
+    if not isinstance(x, jax.Array):
+        return np.asarray(x)
+    if x.is_fully_addressable:
+        return np.asarray(x)
+    if x.is_fully_replicated:
+        return np.asarray(x.addressable_data(0))
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
 
 def make_mesh(num_devices: int = None, devices=None, axis_name: str = ENV_AXIS) -> Mesh:
@@ -85,7 +132,7 @@ def shard_params_tp(params, mesh: Mesh):
             if x.shape[ax] % tp == 0 and x.shape[ax] >= tp:
                 spec[ax] = MODEL_AXIS
                 break
-        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        return _put(x, NamedSharding(mesh, P(*spec)))
 
     return jax.tree_util.tree_map(place, params)
 
@@ -110,8 +157,8 @@ def shard_state(state: dict, mesh: Mesh, num_envs: int) -> dict:
     def place(x):
         x = jax.numpy.asarray(x)
         if x.ndim >= 1 and x.shape[0] == num_envs:
-            return jax.device_put(x, env_sharding(mesh, x.ndim))
-        return jax.device_put(x, replicated(mesh))
+            return _put(x, env_sharding(mesh, x.ndim))
+        return _put(x, replicated(mesh))
 
     return jax.tree_util.tree_map(place, dict(state))
 
@@ -148,14 +195,14 @@ def shard_carry(carry, mesh: Mesh, num_envs: int):
     def place(x):
         x = jax.numpy.asarray(x)
         if x.ndim >= 1 and x.shape[0] == num_envs:
-            return jax.device_put(x, env_sharding(mesh, x.ndim))
-        return jax.device_put(x, replicated(mesh))
+            return _put(x, env_sharding(mesh, x.ndim))
+        return _put(x, replicated(mesh))
 
     def place_time_major(x):
         x = jax.numpy.asarray(x)
         if x.ndim >= 2 and x.shape[1] == num_envs:
             spec = P(None, ENV_AXIS, *([None] * (x.ndim - 2)))
-            return jax.device_put(x, NamedSharding(mesh, spec))
+            return _put(x, NamedSharding(mesh, spec))
         return place(x)
 
     if not isinstance(carry, dict):

@@ -107,6 +107,8 @@ def setup_trainer_and_train(
 
 
 def main():
+    import os
+
     parser = argparse.ArgumentParser(description="warpdrive-tpu training")
     parser.add_argument("-e", "--env", required=True, help="run config name")
     parser.add_argument(
@@ -119,9 +121,44 @@ def main():
     parser.add_argument("--num_episodes", type=int, default=None)
     parser.add_argument("--num_envs", type=int, default=None)
     parser.add_argument("--results_dir", type=str, default=None)
+    # multi-host bring-up (replaces the reference's one-process-per-GPU
+    # launcher, ``distributed_trainer_pycuda.py:13-47``): launch ONE copy of
+    # this script per host with the same --coordinator and its own
+    # --process_id; the mesh then spans every host's devices and training
+    # runs as a single SPMD program (checkpoints/metrics written by the
+    # lead process only).  Env-var equivalents: WDT_COORDINATOR,
+    # WDT_NUM_PROCESSES, WDT_PROCESS_ID.
+    parser.add_argument(
+        "--coordinator", type=str,
+        default=os.environ.get("WDT_COORDINATOR"),
+        help="host:port of process 0 (enables jax.distributed)",
+    )
+    parser.add_argument(
+        "--num_processes", type=int,
+        default=int(os.environ.get("WDT_NUM_PROCESSES", "0")) or None,
+    )
+    parser.add_argument(
+        "--process_id", type=int,
+        default=(int(os.environ["WDT_PROCESS_ID"])
+                 if "WDT_PROCESS_ID" in os.environ else None),
+    )
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
+
+    if args.coordinator:
+        from warpdrive_tpu.parallel.mesh import initialize_multihost
+
+        initialize_multihost(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        import jax
+
+        if args.num_devices <= 1:
+            # default the mesh to the WHOLE multi-process slice
+            args.num_devices = jax.device_count()
     run_config = load_run_config(args.env)
     if args.num_episodes is not None:
         run_config["trainer"]["num_episodes"] = args.num_episodes

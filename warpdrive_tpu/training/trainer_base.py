@@ -223,7 +223,13 @@ class TrainerBase:
         # lazy default: an unconditional np.random.randint would consume
         # the GLOBAL numpy RNG even when an explicit seed is configured
         seed = int(np.random.randint(10_000_000) if seed is None else seed)
-        seed += self.device_id + jax.process_index() * 1000
+        if getattr(self.engine, "mesh", None) is None:
+            # standalone per-device trainers diversify by rank (reference
+            # trainer_base.py:249-256 semantics)
+            seed += self.device_id + jax.process_index() * 1000
+        # else: ONE SPMD program spans all processes — host-side rng keys
+        # are replicated program inputs and MUST be identical on every
+        # process (GSPMD invariant; see parallel/mesh.py docstring)
         self.seed = seed
         self._rng = jax.random.PRNGKey(seed)
 
@@ -475,8 +481,10 @@ class TrainerBase:
             if log_now:
                 # force completion of everything dispatched this window so
                 # the elapsed time is fully synchronized device time
+                from warpdrive_tpu.parallel.mesh import to_host
+
                 metrics_host = jax.tree_util.tree_map(
-                    lambda x: float(np.asarray(x)), metrics
+                    lambda x: float(to_host(x)), metrics
                 )
                 if self._carry is not None:
                     jax.block_until_ready(
@@ -554,14 +562,25 @@ class TrainerBase:
         return self.params[policy]
 
     def save_model_checkpoint(self, timestep: int = None):
-        """Serialize per-policy params (reference ``trainer_a2c.py:361-384``)."""
-        if not self._is_lead_process():
-            return
+        """Serialize per-policy params (reference ``trainer_a2c.py:361-384``).
+
+        Multi-process rule: the host pull (``to_host``) may be a
+        CROSS-PROCESS collective (param leaves whose output sharding GSPMD
+        chose to split), so EVERY process must execute it; only the file
+        write is lead-only.  A lead-gated collective deadlocks the cluster
+        (observed: non-lead finished train() while the lead blocked in
+        ``process_allgather`` at the final checkpoint).
+        """
         timestep = self.current_timestep if timestep is None else timestep
+        from warpdrive_tpu.parallel.mesh import to_host
+
         for policy in self.policies_to_train:
-            payload = serialization.to_bytes(
-                jax.device_get(self._current_params(policy))
+            params_host = jax.tree_util.tree_map(
+                to_host, self._current_params(policy)
             )
+            if not self._is_lead_process():
+                continue
+            payload = serialization.to_bytes(params_host)
             with open(self._ckpt_path(policy, timestep), "wb") as f:
                 f.write(payload)
 
@@ -719,8 +738,10 @@ class TrainerBase:
         rew_sum, step_sum = self._eval_fns[mode](
             self._act_params(), state0, keys
         )
-        rew_sum = np.asarray(rew_sum)
-        step_sum = np.asarray(step_sum)
+        from warpdrive_tpu.parallel.mesh import to_host
+
+        rew_sum = to_host(rew_sum)
+        step_sum = to_host(step_sum)
         episodic_reward_sum = {}
         episodic_step_sum = {}
         for tag, ids in self.policy_tag_to_agent_id_map.items():

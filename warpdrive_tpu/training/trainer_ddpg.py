@@ -697,16 +697,24 @@ class TrainerDDPG(TrainerBase):
         }
 
     def save_model_checkpoint(self, timestep: int = None):
-        """Save actor + critic per policy (reference ``:467-500``)."""
+        """Save actor + critic per policy (reference ``:467-500``).
+
+        As in ``TrainerBase``: the host pull may be a cross-process
+        collective, so it runs on EVERY process; only the write is
+        lead-gated (a lead-gated collective deadlocks the cluster).
+        """
         from flax import serialization
 
-        if not self._is_lead_process():
-            return
+        from warpdrive_tpu.parallel.mesh import to_host
+
         timestep = self.current_timestep if timestep is None else timestep
         for policy in self.policies_to_train:
             current = self._current_params(policy)
             for net in ("actor", "critic"):
-                payload = serialization.to_bytes(jax.device_get(current[net]))
+                params_host = jax.tree_util.tree_map(to_host, current[net])
+                if not self._is_lead_process():
+                    continue
+                payload = serialization.to_bytes(params_host)
                 with open(self._ckpt_path(policy, timestep, net), "wb") as f:
                     f.write(payload)
 
