@@ -101,8 +101,13 @@ class CpuEnvEngine:
                 aid: Box(-np.inf, np.inf, shape=np.asarray(obs0[0][aid]).shape)
                 for aid in self._agent_ids
             }
-        self.observation_space = self.env.observation_space
-        self.action_space = self.env.action_space
+        # gym interop (same boundary rule as EnvEngine)
+        from warpdrive_tpu.utils.spaces import normalize_space_map
+
+        self.observation_space = normalize_space_map(
+            self.env.observation_space
+        )
+        self.action_space = normalize_space_map(self.env.action_space)
         a_space = self.action_space[self._agent_ids[0]]
         if isinstance(a_space, Discrete):
             spec = (1, np.int32)

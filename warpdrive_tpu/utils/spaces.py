@@ -142,6 +142,53 @@ class DictSpace(Space):
         return f"DictSpace({self.spaces})"
 
 
+def normalize_space(space):
+    """
+    Accept a space in EITHER this module's types or ``gym``/``gymnasium``
+    types and return the native equivalent (gym interop, reference
+    ``warp_drive/env_wrapper.py:107-112`` — the reference consumes real
+    ``gym.spaces`` objects; here they are converted once at the boundary).
+
+    Duck-typed (no gym import, works for gym AND gymnasium, any version):
+    ``.nvec`` -> MultiDiscrete, ``.n`` -> Discrete, ``.low``/``.high`` ->
+    Box, ``.spaces`` mapping -> DictSpace.  Native types pass through
+    unchanged; a plain dict of spaces normalizes element-wise.
+    """
+    if isinstance(space, (Discrete, MultiDiscrete, Box, DictSpace)):
+        return space
+    if isinstance(space, dict):
+        return {k: normalize_space(v) for k, v in space.items()}
+    if hasattr(space, "spaces") and isinstance(getattr(space, "spaces"), dict):
+        return DictSpace(
+            {k: normalize_space(v) for k, v in space.spaces.items()}
+        )
+    if hasattr(space, "nvec"):
+        return MultiDiscrete(np.asarray(space.nvec))
+    if hasattr(space, "n"):
+        return Discrete(int(space.n))
+    if hasattr(space, "low") and hasattr(space, "high"):
+        return Box(
+            low=np.asarray(space.low),
+            high=np.asarray(space.high),
+            shape=tuple(space.shape),
+            dtype=getattr(space, "dtype", np.float32),
+        )
+    raise TypeError(
+        f"unsupported space type {type(space).__name__}: expected a "
+        "warpdrive_tpu space, a gym/gymnasium Discrete/MultiDiscrete/Box/"
+        "Dict, or a dict of those"
+    )
+
+
+def normalize_space_map(space_map):
+    """Normalize a per-agent ``{agent_id: space}`` mapping (or None)."""
+    if space_map is None:
+        return None
+    if not isinstance(space_map, dict):
+        return normalize_space(space_map)
+    return {k: normalize_space(v) for k, v in space_map.items()}
+
+
 def recursive_obs_dict_to_spaces_dict(obs) -> DictSpace:
     """
     Infer a space from an example observation dictionary.
