@@ -1,0 +1,54 @@
+"""
+Consistency oracle on the BENCHED flagship configuration (VERDICT r2 weak
+#3 / r3 item 4): the exact env kwargs + kNN algorithm/select pair that
+bench.py's headline number runs must pass ``EnvironmentCPUvsTPU`` at the
+1 % threshold across multiple episodes (incl. auto-reset continuation) —
+so the advertised throughput comes from a configuration the correctness
+oracle approves (BASELINE.json: "env trajectories match the CPU-reference
+step functions").
+
+Only ``episode_length`` is shortened (500 -> 60, oracle runtime); the
+agent population, kNN config, and reward/tagging parameters are the
+bench's own (``presets.FLAGSHIP_ENV_KWARGS``).
+
+Why NOT ``knn_algorithm="packed"``: packed clears the low mantissa bits
+of the squared distances to pack the candidate index, so near-ties
+(relative distance gap < 2^-16 — TagContinuous's lattice-like discrete
+speed/turn kinematics DO produce them) tie-break by index and diverge
+from the numpy reference by a whole neighbor (measured here: a 0.375 obs
+divergence at t=101 under seed 274880, and 3/67,200 slots on a rolled
+on-chip state, docs/performance.md §6).  The oracle-approved selectors
+are ``ladder`` (monotonic ladder, reference-exact incl. ties) and
+``approx`` (lax.approx_min_k, recall_target=1.0 — exact k-smallest);
+``bf16pair`` feature selection composes with both (its only deviation is
+~4e-6 bf16 hi/lo feature rounding, far below the 1 % bar).  bench.py's
+headline flagship stage must run one of THESE oracle-approved selectors
+(see presets.build_flagship — the default is pinned by the on-chip A/B in
+artifacts/round3/).
+"""
+
+from warpdrive_tpu.envs.tag_continuous import TagContinuous, TpuTagContinuous
+from warpdrive_tpu.presets import FLAGSHIP_ENV_KWARGS
+from warpdrive_tpu.tools.consistency import EnvironmentCPUvsTPU
+
+
+def test_flagship_bench_config_passes_oracle():
+    cfg = dict(
+        FLAGSHIP_ENV_KWARGS,
+        episode_length=60,
+        seed=274880,  # seed that exposes packed's tie-break divergence
+    )
+    EnvironmentCPUvsTPU(
+        cpu_env_class=TagContinuous,
+        tpu_env_class=TpuTagContinuous,
+        env_configs={
+            "bench_flagship_ladder": dict(
+                cfg, knn_algorithm="ladder", knn_select="bf16pair"
+            ),
+            "bench_flagship_approx": dict(
+                cfg, knn_algorithm="approx", knn_select="bf16pair"
+            ),
+        },
+        num_envs=2,
+        num_episodes=2,
+    ).test_env_reset_and_step(threshold_pct=1.0, seed=41)

@@ -121,8 +121,14 @@ class TagContinuous:
         #             if the Mosaic pallas-in-scan limitation still holds —
         #             use for out-of-scan observation serving/benching, or
         #             after the staged experiments confirm scan support).
+        #             "pallas" runs the packed-argmin kernel (v2);
+        #             "pallas_mxu" the MXU-select kernel (v3: selection as
+        #             one in-kernel bf16 hi/lo matmul, features exact to
+        #             ~4e-6 abs); "pallas_onehot" the original masked-
+        #             reduction kernel (v1), kept for A/B.
         assert knn_algorithm in (
-            "passes", "topk", "ladder", "packed", "approx", "pallas"
+            "passes", "topk", "ladder", "packed", "approx",
+            "pallas", "pallas_mxu", "pallas_onehot",
         )
         # knn_select picks how neighbor features are pulled once the slot
         # indices are known (topk/ladder/packed only): "fused" one-hot
@@ -563,7 +569,7 @@ class TpuTagContinuous(TagContinuous, TpuEnvironmentContext):
         """
         use_pallas = (
             (not self.use_full_observation)
-            and self.knn_algorithm == "pallas"
+            and self.knn_algorithm.startswith("pallas")
         )
         if not use_pallas:
             return jax.vmap(self.observe_fn)(dict(state))
@@ -589,6 +595,11 @@ class TpuTagContinuous(TagContinuous, TpuEnvironmentContext):
         t_norm = (
             state[Constants.TIMESTEP] / self.episode_length
         ).astype(jnp.float32)
+        variant = {
+            "pallas": "packed",
+            "pallas_mxu": "mxu",
+            "pallas_onehot": "onehot",
+        }[self.knn_algorithm]
         return knn_observation(
             loc_x,
             loc_y,
@@ -599,6 +610,7 @@ class TpuTagContinuous(TagContinuous, TpuEnvironmentContext):
             n_agents=self.num_agents,
             k=self.num_other_agents_observed,
             interpret=interpret,
+            variant=variant,
         )
 
     def observe_fn(self, state: dict) -> jnp.ndarray:

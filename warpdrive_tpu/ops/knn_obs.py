@@ -214,6 +214,130 @@ def _knn_obs_kernel_v2(xy_ref, src_ref, out_ref, *, n_agents: int, k: int):
         out_ref[:, 8 * k + 1 :, :] = jnp.zeros((B, pad_rows, LANE), jnp.float32)
 
 
+def _knn_obs_kernel_v3(xy_ref, src_ref, out_ref, acc_ref, *, n_agents: int,
+                       k: int):
+    """MXU-select variant (VERDICT r3 route (a)): the per-slot neighbor
+    feature selection — SIX masked (B, L, L) VPU reductions per slot in
+    v1/v2, the measured dominant cost of the kernel (docs/performance.md
+    §5) — is replaced by ONE in-kernel bf16 MXU matmul after the ladder.
+
+    Differences from v2:
+
+    * the ladder runs on the TRANSPOSED distance matrix ``d2T[b, j, i]``
+      (candidate j on sublanes, agent i on lanes), so the per-slot min is
+      a sublane-tree reduction and every derived per-agent vector
+      (min, valid, one-hot column) lands agent-on-lanes — the exact layout
+      of the output rows.  No lane<->sublane relayout anywhere.
+    * the slot one-hots are CAST to bf16 and stored side-by-side in a
+      VMEM scratch ``acc_ref`` (B, L_j, k*L_i); after the ladder, one
+      ``dot_general`` against the hi/lo bf16 feature pairs (the bf16pair
+      trick of the XLA path, tag_continuous.py:814-832: x - bf16(x) is
+      exact in f32, so hi+lo reconstructs f32 features to ~2^-17 and a
+      one-hot row selects exactly) yields ALL k slots' neighbor features
+      in a single MXU pass: (B, 12, L_j) @ (B, L_j, k*L_i).
+    * per-slot VPU work drops to min + eq + rewrite (~3 passes) from
+      min + eq + rewrite + 6 masked selects (~9 passes).
+
+    Refs:
+      xy_ref:  (B, 2, LANE) f32 — loc_x, loc_y
+      src_ref: (B, 8, LANE) f32 — [5 feats, type, still, t_norm]
+      out_ref: (B, OBS_PAD_ROWS, LANE) f32 — slot-major obs rows
+      acc_ref: (B, LANE, k*LANE) bf16 scratch — transposed slot one-hots
+    """
+    B = xy_ref.shape[0]
+    row_j = jax.lax.broadcasted_iota(jnp.int32, (B, LANE, LANE), 1)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (B, LANE, LANE), 2)
+
+    x = xy_ref[:, 0, :]  # (B, LANE)
+    y = xy_ref[:, 1, :]
+    src = src_ref[:]  # (B, 8, LANE)
+
+    def chan(c):  # (B, 1, LANE) — agent on lanes
+        return src[:, c : c + 1, :]
+
+    def chan_flat(c):  # (B, LANE)
+        return jax.lax.squeeze(src[:, c : c + 1, :], [1])
+
+    alive_row = (chan_flat(6) >= 0.5).astype(jnp.float32)  # lane = i
+
+    # transposed distances: d2T[b, j, i] = |pos_j - pos_i|^2
+    dx = x[:, :, None] - x[:, None, :]  # (B, j, i)
+    dy = y[:, :, None] - y[:, None, :]
+    d2 = dx * dx + dy * dy
+
+    # candidate j invalid as a neighbor of i: padding, self, or dead —
+    # still_in_the_game indexed by j = SUBLANE axis here
+    still_sub = jnp.transpose(chan(6), (0, 2, 1))  # (B, LANE, 1)
+    invalid = (row_j >= n_agents) | (row_j == col_i) | (still_sub < 0.5)
+    d2 = jnp.where(invalid, _BIG, d2)
+    # pack candidate index j into the low 7 mantissa bits (v2 trick)
+    d2i = jnp.bitwise_or(
+        jnp.bitwise_and(pltpu.bitcast(d2, jnp.int32), _CLEAR_MASK), row_j
+    )
+
+    def slot_body(slot, carry):
+        d2i, valid_acc = carry
+        m2 = jnp.min(d2i, axis=1, keepdims=True)  # (B, 1, LANE_i)
+        valid = (m2 < _VALID_MAX).astype(jnp.float32)  # (B, 1, LANE_i)
+        eq = d2i == m2  # (B, LANE_j, LANE_i) exact one-hot column per i
+        acc_ref[:, :, pl.ds(pl.multiple_of(slot * LANE, LANE), LANE)] = (
+            eq.astype(jnp.bfloat16)
+        )
+        # valid gates accumulate into sublane `slot` via one-hot algebra
+        # (dynamic sublane stores must be 8-aligned; slot is not)
+        slot_onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (_VALID_ROWS, 1), 0) == slot
+        ).astype(jnp.float32)  # (_VALID_ROWS, 1)
+        valid_acc = valid_acc + slot_onehot[None, :, :] * valid
+        return jnp.where(eq, _BIG_PACKED, d2i), valid_acc
+
+    valid_acc0 = jnp.zeros((B, _VALID_ROWS, LANE), jnp.float32)
+    _, valid_acc = jax.lax.fori_loop(
+        0, k, slot_body, (d2i, valid_acc0)
+    )
+
+    # hi/lo bf16 feature pairs, channel on sublanes (12 rows), agent j on
+    # lanes — then ONE MXU contraction over j for all k*LANE slot-agent
+    # columns at once
+    feats6 = src[:, :6, :]  # (B, 6, LANE)
+    hi = feats6.astype(jnp.bfloat16)
+    lo = (feats6 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    pairs = jnp.concatenate([hi, lo], axis=1)  # (B, 12, LANE_j) bf16
+    sel = jax.lax.dot_general(
+        pairs,
+        acc_ref[:],
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (B, 12, k*LANE) f32: channel-sublane, slot-major agent lanes
+
+    # emit loop: STATICALLY unrolled (k small slices of tiny (B, 12, LANE)
+    # blocks — Mosaic has no dynamic_slice on VALUES, and this body is far
+    # below the unroll size that crashes the compiler; the heavy ladder
+    # above stays a fori_loop)
+    for slot in range(k):
+        blk = sel[:, :, slot * LANE : (slot + 1) * LANE]  # (B, 12, LANE_i)
+        nbr = blk[:, :6, :] + blk[:, 6:12, :]  # exact f32 reconstruction
+        # gate: this slot's valid flag x agent-alive (static sublane read)
+        valid = valid_acc[:, slot : slot + 1, :]  # (B, 1, LANE)
+        gate = valid * alive_row[:, None, :]  # (B, 1, LANE)
+        rows8 = jnp.concatenate(
+            [(nbr[:, c : c + 1, :] - chan(c)) * gate for c in range(5)]
+            + [nbr[:, 5:6, :] * gate, gate, gate],
+            axis=1,
+        )  # (B, 8, LANE)
+        out_ref[:, slot * 8 : (slot + 1) * 8, :] = rows8
+
+    t_row = chan_flat(7) * alive_row
+    out_ref[:, 8 * k : 8 * k + 1, :] = t_row[:, None, :]
+    pad_rows = out_ref.shape[1] - (8 * k + 1)
+    if pad_rows:
+        out_ref[:, 8 * k + 1 :, :] = jnp.zeros((B, pad_rows, LANE), jnp.float32)
+
+
+# valid-gate accumulator sublane count (>= k, padded to the f32 tile)
+_VALID_ROWS = 16
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_agents", "k", "block_envs", "interpret", "variant"),
@@ -272,10 +396,16 @@ def knn_observation(
     Ep = E + pad_e
 
     obs_rows_pad = ((obs_dim + 7) // 8) * 8  # sublane multiple
-    assert variant in ("packed", "onehot")
-    kernel_fn = (
-        _knn_obs_kernel_v2 if variant == "packed" else _knn_obs_kernel
-    )
+    assert variant in ("packed", "onehot", "mxu")
+    scratch_shapes = []
+    if variant == "mxu":
+        assert k <= _VALID_ROWS
+        kernel_fn = _knn_obs_kernel_v3
+        scratch_shapes = [pltpu.VMEM((B, LANE, k * LANE), jnp.bfloat16)]
+    elif variant == "packed":
+        kernel_fn = _knn_obs_kernel_v2
+    else:
+        kernel_fn = _knn_obs_kernel
     kernel = functools.partial(kernel_fn, n_agents=n_agents, k=k)
     out = pl.pallas_call(
         kernel,
@@ -288,6 +418,7 @@ def knn_observation(
             (B, obs_rows_pad, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((Ep, obs_rows_pad, LANE), jnp.float32),
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(xy, src)
 
