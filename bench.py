@@ -305,6 +305,161 @@ def main():
         print(f"[bench] gridworld env-only stage failed: {exc}",
               file=sys.stderr, flush=True)
 
+    # classic-control concurrency envelope: 100K concurrent CartPole
+    # replicas in ONE fused scan (the reference's headline concurrency
+    # claim, CHANGELOG.md:8-17 "100k concurrent environments") — random
+    # actions + step + done-driven auto-reset; the obs checksum keeps the
+    # observation write live.
+    try:
+        print("[bench] compiling + timing CartPole 100K env-only rollout...",
+              file=sys.stderr, flush=True)
+        from warpdrive_tpu.envs.classic_control.cartpole import (
+            TpuClassicControlCartPoleEnv,
+        )
+
+        c_envs = 100_000 if on_tpu else 1000
+        c_steps = 200 if on_tpu else 20
+        cenv = TpuClassicControlCartPoleEnv(episode_length=200, seed=5)
+        cengine = EnvEngine(env_obj=cenv, num_envs=c_envs, seed=5)
+        c_state = dict(cengine.state)
+
+        def c_env_step(carry, key):
+            state, checksum = carry
+            k_act, k_reset = jax.random.split(key)
+            actions = jax.random.randint(
+                k_act, (c_envs, 1), 0, 2, dtype=jnp.int32
+            )
+            state = cengine.step(state, actions)
+            checksum = checksum + state[_C.OBSERVATIONS].sum()
+            return cengine.auto_reset(state, k_reset), checksum
+
+        c_rate = rollout_rate(
+            c_env_step, (c_state, jnp.zeros(())), c_steps, c_envs, key
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "cartpole_100k_env_steps_per_sec",
+                    "value": round(c_rate),
+                    "unit": "env_steps/s",
+                    "vs_baseline": round(c_rate / BASELINE_ENV_STEPS_PER_S, 4),
+                    "num_envs": c_envs,
+                    "platform": platform,
+                }
+            ),
+            flush=True,
+        )
+        print(f"[bench] CartPole 100K env-only: {c_rate:,.0f} env-steps/s",
+              file=sys.stderr, flush=True)
+    except Exception as exc:
+        print(f"[bench] cartpole 100k stage failed: {exc}",
+              file=sys.stderr, flush=True)
+
+    # 1024-agent TagContinuous: the top of the reference's agents-per-env
+    # envelope (README.md:13-26 "up to 1024 agents"; BASELINE.json config
+    # #5).  The O(N^2) distance matrix is 1024^2 x 4B = 4 MB/env, so the
+    # replica count stays modest; the approx (PartialReduce) kNN keeps the
+    # matrix single-pass.
+    try:
+        print("[bench] compiling + timing 1024-agent TagContinuous...",
+              file=sys.stderr, flush=True)
+        from warpdrive_tpu.envs.tag_continuous import (
+            TpuTagContinuous as _TTC,
+        )
+        from warpdrive_tpu.presets import (
+            FLAGSHIP_ENV_KWARGS as _FK,
+        )
+
+        a_envs = 16 if on_tpu else 2
+        a_steps = 100 if on_tpu else 5
+        aenv = _TTC(**dict(
+            _FK, num_taggers=20, num_runners=1004, grid_length=60.0,
+            seed=0, knn_algorithm="approx", knn_select="bf16pair"))
+        aengine = EnvEngine(env_obj=aenv, num_envs=a_envs, seed=0)
+        a_state = {k: v for k, v in aengine.state.items()
+                   if k not in ("observations", "sampled_actions")}
+        a_agents = aengine.n_agents
+        a_heads = [int(n) for n in aenv.action_space[0].nvec]
+
+        def a_env_step(carry, kk):
+            st, checksum = carry
+            k_act, k_reset = jax.random.split(kk)
+            actions = jax.random.randint(
+                k_act, (a_envs, a_agents, len(a_heads)),
+                jnp.zeros((len(a_heads),), jnp.int32),
+                jnp.asarray(a_heads, jnp.int32), dtype=jnp.int32)
+            checksum = checksum + aengine.observe(st).sum()
+            st = aengine.step_physics(st, actions)
+            return aengine.auto_reset(st, k_reset), checksum
+
+        a_rate = rollout_rate(
+            a_env_step, (a_state, jnp.zeros(())), a_steps, a_envs, key
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "tag_continuous_1024_agents_env_steps_per_sec",
+                    "value": round(a_rate),
+                    "unit": "env_steps/s",
+                    "vs_baseline": round(a_rate / BASELINE_ENV_STEPS_PER_S, 4),
+                    "num_envs": a_envs,
+                    "num_agents": int(a_agents),
+                    "agent_steps_per_sec": round(a_rate * a_agents),
+                    "platform": platform,
+                }
+            ),
+            flush=True,
+        )
+        print(f"[bench] 1024-agent Tag env-only: {a_rate:,.0f} env-steps/s "
+              f"({a_rate * a_agents:,.0f} agent-steps/s)",
+              file=sys.stderr, flush=True)
+    except Exception as exc:
+        print(f"[bench] 1024-agent stage failed: {exc}",
+              file=sys.stderr, flush=True)
+
+    # off-policy (DDPG) training throughput on Pendulum: the BASELINE
+    # config left untold by earlier rounds — continuous actions, OU noise,
+    # device-side replay, actor+critic+target updates in one fused program.
+    try:
+        print("[bench] compiling + timing Pendulum DDPG training...",
+              file=sys.stderr, flush=True)
+        from warpdrive_tpu.training.scripts.train import setup_trainer
+        from warpdrive_tpu.utils.config import load_run_config
+
+        d_envs = 2000 if on_tpu else 16
+        dcfg = load_run_config("single_pendulum")
+        dcfg["trainer"]["num_envs"] = d_envs
+        dcfg["trainer"]["train_batch_size"] = 100 * d_envs
+        dcfg["trainer"]["num_episodes"] = 4 * d_envs
+        dcfg["trainer"]["seed"] = 7
+        dcfg["env"]["episode_length"] = 100
+        dcfg["saving"] = {"metrics_log_freq": 10**9,
+                          "model_params_save_freq": 10**9,
+                          "basedir": "/tmp", "name": "bench_ddpg",
+                          "tag": "t"}
+        dtrainer = setup_trainer(dcfg, verbose=False)
+        dprof = dtrainer.profile_phases(repeats=3)
+        print(
+            json.dumps(
+                {
+                    "metric": "pendulum_ddpg_training_env_steps_per_sec",
+                    "value": round(dprof["steps_per_sec"]),
+                    "unit": "env_steps/s",
+                    "vs_baseline": round(
+                        dprof["steps_per_sec"] / BASELINE_ENV_STEPS_PER_S, 4
+                    ),
+                    "rollout_ms": round(dprof["rollout_ms"], 2),
+                    "update_ms": round(dprof["update_ms"], 2),
+                    "num_envs": d_envs,
+                    "platform": platform,
+                }
+            ),
+            flush=True,
+        )
+    except Exception as exc:
+        print(f"[bench] pendulum DDPG stage failed: {exc}",
+              file=sys.stderr, flush=True)
+
     # flagship training throughput: the FULL two-policy adversarial A2C
     # iteration on TagContinuous at the reference's own config scale
     # (tag_continuous.yaml: 100 envs, 500-step episodes, 5 taggers + 100

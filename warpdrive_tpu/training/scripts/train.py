@@ -55,14 +55,14 @@ def build_policy_map(kind: str, env) -> dict:
     raise NotImplementedError(kind)
 
 
-def setup_trainer_and_train(
+def setup_trainer(
     run_config: dict,
     env_setup: tuple = None,
     num_devices: int = 1,
     results_dir: str = None,
     verbose: bool = True,
 ):
-    """Build engine + trainer from a merged run config and run training."""
+    """Build engine + trainer from a merged run config (no training)."""
     register_all_envs()
     name = run_config.get("name")
     if env_setup is None:
@@ -98,6 +98,24 @@ def setup_trainer_and_train(
         config=run_config,
         policy_tag_to_agent_id_map=policy_map,
         create_separate_placeholders_for_each_policy=separate,
+        num_devices=num_devices,
+        results_dir=results_dir,
+        verbose=verbose,
+    )
+    return trainer
+
+
+def setup_trainer_and_train(
+    run_config: dict,
+    env_setup: tuple = None,
+    num_devices: int = 1,
+    results_dir: str = None,
+    verbose: bool = True,
+):
+    """Build engine + trainer from a merged run config and run training."""
+    trainer = setup_trainer(
+        run_config,
+        env_setup=env_setup,
         num_devices=num_devices,
         results_dir=results_dir,
         verbose=verbose,
