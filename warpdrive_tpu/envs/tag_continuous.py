@@ -126,9 +126,12 @@ class TagContinuous:
         #             one in-kernel bf16 hi/lo matmul, features exact to
         #             ~4e-6 abs); "pallas_onehot" the original masked-
         #             reduction kernel (v1), kept for A/B.
+        #             "pallas_mxu_exact" is pallas_mxu with full-precision
+        #             distance + lowest-index tie-breaks (the numpy
+        #             reference's selection, oracle-exact).
         assert knn_algorithm in (
             "passes", "topk", "ladder", "packed", "approx",
-            "pallas", "pallas_mxu", "pallas_onehot",
+            "pallas", "pallas_mxu", "pallas_mxu_exact", "pallas_onehot",
         )
         # knn_select picks how neighbor features are pulled once the slot
         # indices are known (topk/ladder/packed only): "fused" one-hot
@@ -598,6 +601,7 @@ class TpuTagContinuous(TagContinuous, TpuEnvironmentContext):
         variant = {
             "pallas": "packed",
             "pallas_mxu": "mxu",
+            "pallas_mxu_exact": "mxu_exact",
             "pallas_onehot": "onehot",
         }[self.knn_algorithm]
         return knn_observation(

@@ -215,7 +215,7 @@ def _knn_obs_kernel_v2(xy_ref, src_ref, out_ref, *, n_agents: int, k: int):
 
 
 def _knn_obs_kernel_v3(xy_ref, src_ref, out_ref, acc_ref, *, n_agents: int,
-                       k: int):
+                       k: int, exact: bool = False):
     """MXU-select variant (VERDICT r3 route (a)): the per-slot neighbor
     feature selection — SIX masked (B, L, L) VPU reductions per slot in
     v1/v2, the measured dominant cost of the kernel (docs/performance.md
@@ -270,16 +270,31 @@ def _knn_obs_kernel_v3(xy_ref, src_ref, out_ref, acc_ref, *, n_agents: int,
     still_sub = jnp.transpose(chan(6), (0, 2, 1))  # (B, LANE, 1)
     invalid = (row_j >= n_agents) | (row_j == col_i) | (still_sub < 0.5)
     d2 = jnp.where(invalid, _BIG, d2)
-    # pack candidate index j into the low 7 mantissa bits (v2 trick)
-    d2i = jnp.bitwise_or(
-        jnp.bitwise_and(pltpu.bitcast(d2, jnp.int32), _CLEAR_MASK), row_j
-    )
+    if exact:
+        # exact mode: keep the FULL-precision distance bits (non-negative
+        # f32 bit pattern is order-isomorphic as int32); ties resolve to
+        # the lowest candidate index with a second masked index-min — the
+        # numpy reference's tie-break, at ~2 extra VPU passes per slot
+        d2i = pltpu.bitcast(d2, jnp.int32)
+    else:
+        # pack candidate index j into the low 7 mantissa bits (v2 trick);
+        # near-ties within relative 2^-16 tie-break by index
+        d2i = jnp.bitwise_or(
+            jnp.bitwise_and(pltpu.bitcast(d2, jnp.int32), _CLEAR_MASK), row_j
+        )
 
     def slot_body(slot, carry):
         d2i, valid_acc = carry
         m2 = jnp.min(d2i, axis=1, keepdims=True)  # (B, 1, LANE_i)
         valid = (m2 < _VALID_MAX).astype(jnp.float32)  # (B, 1, LANE_i)
-        eq = d2i == m2  # (B, LANE_j, LANE_i) exact one-hot column per i
+        if exact:
+            eqv = d2i == m2  # ALL entries attaining the exact min
+            mi = jnp.min(
+                jnp.where(eqv, row_j, LANE), axis=1, keepdims=True
+            )  # (B, 1, LANE_i) lowest attaining index
+            eq = eqv & (row_j == mi)  # exact one-hot, reference tie-break
+        else:
+            eq = d2i == m2  # packed entries unique => already one-hot
         acc_ref[:, :, pl.ds(pl.multiple_of(slot * LANE, LANE), LANE)] = (
             eq.astype(jnp.bfloat16)
         )
@@ -340,7 +355,9 @@ _VALID_ROWS = 16
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_agents", "k", "block_envs", "interpret", "variant"),
+    static_argnames=(
+        "n_agents", "k", "block_envs", "interpret", "variant", "raw_out"
+    ),
 )
 def knn_observation(
     loc_x: jnp.ndarray,  # (E, N) world-unit positions
@@ -354,12 +371,19 @@ def knn_observation(
     block_envs: int = 8,
     interpret: bool = False,
     variant: str = "packed",
+    raw_out: bool = False,
 ) -> jnp.ndarray:
     """Batched fused kNN observation: returns (E, N, 8*k + 1) float32.
 
     ``variant='packed'`` (default) is the packed-argmin kernel;
     ``'onehot'`` keeps the original masked-reduction kernel for A/B
-    comparison."""
+    comparison; ``'mxu'`` moves neighbor-feature selection to an
+    in-kernel bf16 hi/lo matmul (~4e-6 abs feature rounding).
+
+    ``raw_out=True`` returns the kernel's native slot-row layout
+    ``(E, obs_rows_pad, LANE)`` (obs feature on sublanes, agent on
+    lanes) without the final XLA transpose — for consumers that can eat
+    the transposed layout (or A/B-ing the transpose cost)."""
     E, N = loc_x.shape
     assert N == n_agents and n_agents <= LANE
     obs_dim = 8 * k + 1
@@ -396,11 +420,13 @@ def knn_observation(
     Ep = E + pad_e
 
     obs_rows_pad = ((obs_dim + 7) // 8) * 8  # sublane multiple
-    assert variant in ("packed", "onehot", "mxu")
+    assert variant in ("packed", "onehot", "mxu", "mxu_exact")
     scratch_shapes = []
-    if variant == "mxu":
+    if variant in ("mxu", "mxu_exact"):
         assert k <= _VALID_ROWS
-        kernel_fn = _knn_obs_kernel_v3
+        kernel_fn = functools.partial(
+            _knn_obs_kernel_v3, exact=(variant == "mxu_exact")
+        )
         scratch_shapes = [pltpu.VMEM((B, LANE, k * LANE), jnp.bfloat16)]
     elif variant == "packed":
         kernel_fn = _knn_obs_kernel_v2
@@ -422,5 +448,7 @@ def knn_observation(
         interpret=interpret,
     )(xy, src)
 
+    if raw_out:
+        return out[:E]
     # one plain XLA transpose back to the (envs, agents, features) contract
     return jnp.swapaxes(out[:E, :obs_dim, :N], 1, 2)
