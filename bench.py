@@ -144,6 +144,12 @@ def main():
                 "vs_baseline": round(env_rate / BASELINE_ENV_STEPS_PER_S, 4),
                 "num_envs": num_envs,
                 "num_agents": sys_["num_agents"],
+                # presets default: the fused Mosaic kNN kernel in exact-tie
+                # mode — 0/67,200 slot deviations vs the numpy reference on
+                # a rolled on-chip state (artifacts/round3/r3_ab7); the
+                # consistency oracle passes on this exact config
+                # (tests/test_consistency_flagship_bench_config.py)
+                "knn_algorithm": "pallas_mxu_exact",
                 "platform": platform,
             }
         ),
@@ -164,6 +170,7 @@ def main():
         "vs_baseline": round(env_rate / BASELINE_ENV_STEPS_PER_S, 4),
         "num_envs": num_envs,
         "num_agents": sys_["num_agents"],
+        "knn_algorithm": "pallas_mxu_exact",
         "platform": platform,
     }
     print("[bench] compiling + timing full loop...", file=sys.stderr, flush=True)
@@ -194,6 +201,47 @@ def main():
         )
     except Exception as exc:
         print(f"[bench] full-loop stage failed: {exc}", file=sys.stderr, flush=True)
+
+    # fast flagship variant: the same Mosaic kernel with the candidate
+    # index packed into the low 7 mantissa bits (ONE integer min per slot
+    # instead of the exact two-phase min) — ~18-21% faster, at the price
+    # of index tie-breaks for distances within relative 2^-16 (measured
+    # 0-2 of 67,200 slots deviate on rolled states; artifacts/round3).
+    # Clearly labeled: the HEADLINE above is the oracle-exact config.
+    try:
+        print("[bench] compiling + timing fast (packed-tie) variant...",
+              file=sys.stderr, flush=True)
+        sys_fast = build_flagship(num_envs=num_envs, fc_dims=(256, 256),
+                                  seed=0, knn_algorithm="pallas_mxu")
+        fast_rate = rollout_rate(
+            sys_fast["env_only_step"],
+            (sys_fast["state"], jnp.zeros(())),
+            n_steps,
+            num_envs,
+            key,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "tag_continuous_env_steps_per_sec_fast",
+                    "value": round(fast_rate),
+                    "unit": "env_steps/s",
+                    "vs_baseline": round(
+                        fast_rate / BASELINE_ENV_STEPS_PER_S, 4
+                    ),
+                    "num_envs": num_envs,
+                    "knn_algorithm": "pallas_mxu",
+                    "exactness": "near-tie index tie-breaks, <=2/67200 slots",
+                    "platform": platform,
+                }
+            ),
+            flush=True,
+        )
+        print(f"[bench] fast variant env-only: {fast_rate:,.0f} env-steps/s",
+              file=sys.stderr, flush=True)
+    except Exception as exc:
+        print(f"[bench] fast-variant stage failed: {exc}",
+              file=sys.stderr, flush=True)
 
     # training throughput: one fused A2C iteration (rollout scan + loss +
     # update) on TagGridWorld at benchmark scale — the reference's
@@ -477,7 +525,7 @@ def main():
         T_f = 500 if on_tpu else 20
         fenv = TpuTagContinuous(
             **dict(FLAGSHIP_ENV_KWARGS, seed=274880,
-                   knn_algorithm="packed", knn_select="bf16pair"))
+                   knn_algorithm="pallas_mxu_exact"))
         fengine = _EE(env_obj=fenv, num_envs=f_envs, seed=31)
         pmap = {
             "tagger": [i for i in range(fenv.num_agents)
@@ -545,7 +593,7 @@ def main():
         t_envs2, T_2 = 2000, 100
         fenv2 = TpuTagContinuous(
             **dict(FLAGSHIP_ENV_KWARGS, seed=274880,
-                   knn_algorithm="packed", knn_select="bf16pair"))
+                   knn_algorithm="pallas_mxu_exact"))
         fengine2 = _EE(env_obj=fenv2, num_envs=t_envs2, seed=31)
         pmap2 = {
             "tagger": [i for i in range(fenv2.num_agents)

@@ -21,10 +21,11 @@ on-chip state, docs/performance.md §6).  The oracle-approved selectors
 are ``ladder`` (monotonic ladder, reference-exact incl. ties) and
 ``approx`` (lax.approx_min_k, recall_target=1.0 — exact k-smallest);
 ``bf16pair`` feature selection composes with both (its only deviation is
-~4e-6 bf16 hi/lo feature rounding, far below the 1 % bar).  bench.py's
-headline flagship stage must run one of THESE oracle-approved selectors
-(see presets.build_flagship — the default is pinned by the on-chip A/B in
-artifacts/round3/).
+~4e-6 bf16 hi/lo feature rounding, far below the 1 % bar).  The bench
+default (presets.build_flagship) is ``pallas_mxu_exact`` — the fused
+Mosaic kernel's exact-tie mode, 0/67,200 slot deviations on-chip
+(artifacts/round3/r3_ab7) — asserted here through the oracle end-to-end
+(in interpret mode on CPU CI; the TPU path compiles the same kernel).
 """
 
 from warpdrive_tpu.envs.tag_continuous import TagContinuous, TpuTagContinuous
@@ -42,6 +43,10 @@ def test_flagship_bench_config_passes_oracle():
         cpu_env_class=TagContinuous,
         tpu_env_class=TpuTagContinuous,
         env_configs={
+            # the bench/preset default (presets.build_flagship)
+            "bench_flagship_default": dict(
+                cfg, knn_algorithm="pallas_mxu_exact"
+            ),
             "bench_flagship_ladder": dict(
                 cfg, knn_algorithm="ladder", knn_select="bf16pair"
             ),

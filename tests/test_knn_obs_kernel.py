@@ -47,7 +47,10 @@ def _build_state(env, num_envs, seed):
     }
 
 
-@pytest.mark.parametrize("variant", ["packed", "onehot", "mxu", "mxu_exact"])
+@pytest.mark.parametrize(
+    "variant",
+    ["packed", "onehot", "mxu", "mxu_exact", "twolevel", "twolevel_exact"],
+)
 @pytest.mark.parametrize("num_agents,k", [(15, 4), (105, 10)])
 def test_kernel_matches_pure_jax_observe(num_agents, k, variant):
     env = TpuTagContinuous(
@@ -87,7 +90,7 @@ def test_kernel_matches_pure_jax_observe(num_agents, k, variant):
     )
 
     assert out.shape == ref.shape
-    if variant in ("mxu", "mxu_exact"):
+    if variant in ("mxu", "mxu_exact", "twolevel", "twolevel_exact"):
         # mxu reconstructs neighbor features from a bf16 hi/lo pair
         # (knn_obs.py v3): hi+lo is exact to the lo-residual rounding,
         # ~2^-17 relative of O(1) normalized features => ~4e-6 absolute.

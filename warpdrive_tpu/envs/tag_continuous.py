@@ -85,6 +85,7 @@ class TagContinuous:
         env_backend="cpu",
         knn_algorithm="passes",
         knn_select="fused",
+        knn_block_envs=2,
     ):
         # kNN observation algorithm on the TPU path (numerically identical;
         # selectable for hardware benchmarking):
@@ -129,9 +130,13 @@ class TagContinuous:
         #             "pallas_mxu_exact" is pallas_mxu with full-precision
         #             distance + lowest-index tie-breaks (the numpy
         #             reference's selection, oracle-exact).
+        #             "pallas_twolevel[_exact]" replaces the one-hot-matrix
+        #             MXU selection with a two-level (group, member)
+        #             select — O(N*k) instead of O(N^2*k) selection work.
         assert knn_algorithm in (
             "passes", "topk", "ladder", "packed", "approx",
             "pallas", "pallas_mxu", "pallas_mxu_exact", "pallas_onehot",
+            "pallas_twolevel", "pallas_twolevel_exact",
         )
         # knn_select picks how neighbor features are pulled once the slot
         # indices are known (topk/ladder/packed only): "fused" one-hot
@@ -145,6 +150,13 @@ class TagContinuous:
         assert knn_select in ("fused", "gather", "bf16pair")
         self.knn_select = knn_select
         self.knn_algorithm = knn_algorithm
+        # envs per Pallas grid block (pallas* algorithms only).  SMALL
+        # blocks win on v5e: the kernel is VPU-bound and small working
+        # sets pipeline best (in-scan A/B artifacts/round3/r3_ab8,
+        # r3_ab9: B=2 1021K / B=4 967K / B=8 937K / B=16 910K
+        # env-steps/s for pallas_mxu_exact @1000 envs; B=1 pays the
+        # per-block launch floor: 829K)
+        self.knn_block_envs = int(knn_block_envs)
         assert num_taggers > 0 and num_runners > 0 and episode_length > 0
         self.num_taggers = int(num_taggers)
         self.num_runners_initial = int(num_runners)
@@ -602,6 +614,8 @@ class TpuTagContinuous(TagContinuous, TpuEnvironmentContext):
             "pallas": "packed",
             "pallas_mxu": "mxu",
             "pallas_mxu_exact": "mxu_exact",
+            "pallas_twolevel": "twolevel",
+            "pallas_twolevel_exact": "twolevel_exact",
             "pallas_onehot": "onehot",
         }[self.knn_algorithm]
         return knn_observation(
@@ -613,6 +627,7 @@ class TpuTagContinuous(TagContinuous, TpuEnvironmentContext):
             t_norm,
             n_agents=self.num_agents,
             k=self.num_other_agents_observed,
+            block_envs=self.knn_block_envs,
             interpret=interpret,
             variant=variant,
         )
@@ -699,7 +714,14 @@ class TpuTagContinuous(TagContinuous, TpuEnvironmentContext):
             )  # (7, N)
             col_j = jnp.arange(N)[None, :]  # (1, N)
             slots = []
-            if self.knn_algorithm == "topk":
+            # the pallas* kernels exist only on the BATCHED path
+            # (observe_batch_fn); per-replica observe falls back to the
+            # exact reference algorithm ("passes") — same selection and
+            # tie-breaks the exact kernels reproduce
+            algo = self.knn_algorithm
+            if algo.startswith("pallas"):
+                algo = "passes"
+            if algo == "topk":
                 # ONE pass over d2: lax.top_k on -d2 returns the k nearest
                 # with stable lowest-index tie-breaking (same order as the
                 # iterated argmin); selection is shared with ladder/packed
@@ -707,7 +729,7 @@ class TpuTagContinuous(TagContinuous, TpuEnvironmentContext):
                 neg_vals, nbr_idx = lax.top_k(-d2, k)  # (N, k) each
                 am_all = nbr_idx.astype(jnp.int32)  # (N, k)
                 valid_all = (neg_vals > -_BIG).astype(jnp.float32)
-            elif self.knn_algorithm == "approx":
+            elif algo == "approx":
                 # ONE PartialReduce pass (the TPU ISA's native partial-sort,
                 # which lax.top_k's generic sort lowering does NOT use):
                 # returns the k smallest distances + their column indices.
@@ -721,7 +743,7 @@ class TpuTagContinuous(TagContinuous, TpuEnvironmentContext):
                 vals, nbr_idx = lax.approx_min_k(d2, k, recall_target=1.0)
                 am_all = nbr_idx.astype(jnp.int32)  # (N, k)
                 valid_all = (vals < _BIG).astype(jnp.float32)
-            elif self.knn_algorithm in ("ladder", "packed"):
+            elif algo in ("ladder", "packed"):
                 # Monotonic ladder: d2 is materialized ONCE and never
                 # rewritten.  Slot s selects "min over entries
                 # lexicographically greater than slot s-1's (min, argmin)"
@@ -736,7 +758,7 @@ class TpuTagContinuous(TagContinuous, TpuEnvironmentContext):
                 # bit-pattern order == float order), so one integer min
                 # yields min+argmin — but distances within relative
                 # 2^-(23-b) then tie-break by index (see __init__ note).
-                if self.knn_algorithm == "packed":
+                if algo == "packed":
                     b = max(1, int(N - 1).bit_length())
                     low_mask = np.int32((1 << b) - 1)
                     sentinel = np.int32(np.iinfo(np.int32).max)
@@ -801,7 +823,7 @@ class TpuTagContinuous(TagContinuous, TpuEnvironmentContext):
                     slots.append(slot8)
                     d2 = jnp.where(onehot > 0.5, _BIG, d2)
 
-            if self.knn_algorithm != "passes":
+            if algo != "passes":
                 # Shared selection from (am_all, valid_all) — the slot
                 # neighbor indices — to the (N, k, 8) slot block:
                 #

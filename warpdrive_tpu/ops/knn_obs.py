@@ -245,8 +245,12 @@ def _knn_obs_kernel_v3(xy_ref, src_ref, out_ref, acc_ref, *, n_agents: int,
       acc_ref: (B, LANE, k*LANE) bf16 scratch — transposed slot one-hots
     """
     B = xy_ref.shape[0]
-    row_j = jax.lax.broadcasted_iota(jnp.int32, (B, LANE, LANE), 1)
-    col_i = jax.lax.broadcasted_iota(jnp.int32, (B, LANE, LANE), 2)
+    # candidate (sublane) axis trimmed to the agent count's tile multiple
+    # — every full-matrix pass is SUB/LANE cheaper (112/128 for the
+    # 105-agent flagship); the agent (lane) axis stays LANE
+    SUB = ((n_agents + 7) // 8) * 8
+    row_j = jax.lax.broadcasted_iota(jnp.int32, (B, SUB, LANE), 1)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (B, SUB, LANE), 2)
 
     x = xy_ref[:, 0, :]  # (B, LANE)
     y = xy_ref[:, 1, :]
@@ -260,14 +264,16 @@ def _knn_obs_kernel_v3(xy_ref, src_ref, out_ref, acc_ref, *, n_agents: int,
 
     alive_row = (chan_flat(6) >= 0.5).astype(jnp.float32)  # lane = i
 
-    # transposed distances: d2T[b, j, i] = |pos_j - pos_i|^2
-    dx = x[:, :, None] - x[:, None, :]  # (B, j, i)
-    dy = y[:, :, None] - y[:, None, :]
+    # transposed distances: d2T[b, j, i] = |pos_j - pos_i|^2, j < SUB
+    x_sub = x[:, :, None]  # (B, LANE, 1): lane axis relaid to sublanes
+    y_sub = y[:, :, None]
+    dx = x_sub[:, :SUB, :] - x[:, None, :]  # (B, SUB, LANE)
+    dy = y_sub[:, :SUB, :] - y[:, None, :]
     d2 = dx * dx + dy * dy
 
     # candidate j invalid as a neighbor of i: padding, self, or dead —
     # still_in_the_game indexed by j = SUBLANE axis here
-    still_sub = jnp.transpose(chan(6), (0, 2, 1))  # (B, LANE, 1)
+    still_sub = jnp.transpose(chan(6), (0, 2, 1))[:, :SUB, :]  # (B, SUB, 1)
     invalid = (row_j >= n_agents) | (row_j == col_i) | (still_sub < 0.5)
     d2 = jnp.where(invalid, _BIG, d2)
     if exact:
@@ -312,12 +318,12 @@ def _knn_obs_kernel_v3(xy_ref, src_ref, out_ref, acc_ref, *, n_agents: int,
     )
 
     # hi/lo bf16 feature pairs, channel on sublanes (12 rows), agent j on
-    # lanes — then ONE MXU contraction over j for all k*LANE slot-agent
-    # columns at once
-    feats6 = src[:, :6, :]  # (B, 6, LANE)
+    # lanes (trimmed to SUB) — then ONE MXU contraction over j for all
+    # k*LANE slot-agent columns at once
+    feats6 = src[:, :6, :SUB]  # (B, 6, SUB)
     hi = feats6.astype(jnp.bfloat16)
     lo = (feats6 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    pairs = jnp.concatenate([hi, lo], axis=1)  # (B, 12, LANE_j) bf16
+    pairs = jnp.concatenate([hi, lo], axis=1)  # (B, 12, SUB_j) bf16
     sel = jax.lax.dot_general(
         pairs,
         acc_ref[:],
@@ -338,6 +344,167 @@ def _knn_obs_kernel_v3(xy_ref, src_ref, out_ref, acc_ref, *, n_agents: int,
         rows8 = jnp.concatenate(
             [(nbr[:, c : c + 1, :] - chan(c)) * gate for c in range(5)]
             + [nbr[:, 5:6, :] * gate, gate, gate],
+            axis=1,
+        )  # (B, 8, LANE)
+        out_ref[:, slot * 8 : (slot + 1) * 8, :] = rows8
+
+    t_row = chan_flat(7) * alive_row
+    out_ref[:, 8 * k : 8 * k + 1, :] = t_row[:, None, :]
+    pad_rows = out_ref.shape[1] - (8 * k + 1)
+    if pad_rows:
+        out_ref[:, 8 * k + 1 :, :] = jnp.zeros((B, pad_rows, LANE), jnp.float32)
+
+
+def _knn_obs_kernel_v6(xy_ref, src_ref, perm_ref, out_ref, *, n_agents: int,
+                       k: int, exact: bool = False):
+    """Two-level-select variant: the surgical decomposition
+    (artifacts/round3/r3_ab5) showed v3's remaining cost is the per-slot
+    FULL-MATRIX one-hot build + bf16 store feeding the MXU selection
+    (~0.27 ms of 0.88 at E=1000) plus the per-block launch floor amplified
+    by the 2.6 MB acc scratch capping the block size.  v6 removes both:
+
+    * the ladder records only each slot's WINNER INDEX (the packed low
+      bits / the exact index-min) into a tiny (B, 16, LANE) accumulator —
+      no (B, L, L) one-hot is ever materialized;
+    * selection is two chained SMALL one-hots over the (group, member)
+      split of the candidate index j = g*8 + m: a per-slot MXU dot
+      against the group-gathered hi/lo feature pairs (B, 96, G) selects
+      the winner GROUP's 8 members' features, then an 8-term masked sum
+      picks the member — O(N*k) work instead of O(N^2 k);
+    * the candidate (sublane) axis is trimmed to SUB = ceil(N/8)*8
+      (112 for the 105-agent flagship) — every full-matrix pass is ~12%
+      cheaper; the agent (lane) axis stays LANE;
+    * with no giant scratch, larger env blocks amortize the measured
+      0.23 ms/1000-env launch floor.
+
+    The feature re-grouping rides a CONSTANT permutation matmul
+    ``perm_ref`` (LANE, SUB): out lane m*G + g holds agent j = g*8 + m —
+    a 0/1 bf16 matrix, so the permuted hi/lo pairs stay exact.
+
+    Refs:
+      xy_ref:   (B, 2, LANE) f32 — loc_x, loc_y
+      src_ref:  (B, 8, LANE) f32 — [5 feats, type, still, t_norm]
+      perm_ref: (LANE, SUB) bf16 — constant (m, g) permutation
+      out_ref:  (B, OBS_PAD_ROWS, LANE) f32 — slot-major obs rows
+    """
+    B = xy_ref.shape[0]
+    G = perm_ref.shape[2]  # groups of 8 candidates
+    SUB = G * 8  # candidate sublanes, ceil(n_agents/8)*8
+    row_j = jax.lax.broadcasted_iota(jnp.int32, (B, SUB, LANE), 1)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (B, SUB, LANE), 2)
+
+    x = xy_ref[:, 0, :]  # (B, LANE)
+    y = xy_ref[:, 1, :]
+    src = src_ref[:]  # (B, 8, LANE)
+
+    def chan(c):  # (B, 1, LANE) — agent on lanes
+        return src[:, c : c + 1, :]
+
+    def chan_flat(c):  # (B, LANE)
+        return jax.lax.squeeze(src[:, c : c + 1, :], [1])
+
+    alive_row = (chan_flat(6) >= 0.5).astype(jnp.float32)  # lane = i
+
+    # transposed distances on the TRIMMED candidate axis:
+    # d2T[b, j, i] = |pos_j - pos_i|^2, j in [0, SUB)
+    x_sub = x[:, :, None]  # (B, LANE, 1): lane axis relaid to sublanes
+    y_sub = y[:, :, None]
+    dx = x_sub[:, :SUB, :] - x[:, None, :]  # (B, SUB, LANE)
+    dy = y_sub[:, :SUB, :] - y[:, None, :]
+    d2 = dx * dx + dy * dy
+
+    still_sub = jnp.transpose(chan(6), (0, 2, 1))[:, :SUB, :]  # (B, SUB, 1)
+    invalid = (row_j >= n_agents) | (row_j == col_i) | (still_sub < 0.5)
+    d2 = jnp.where(invalid, _BIG, d2)
+    if exact:
+        d2i = pltpu.bitcast(d2, jnp.int32)
+    else:
+        d2i = jnp.bitwise_or(
+            jnp.bitwise_and(pltpu.bitcast(d2, jnp.int32), _CLEAR_MASK), row_j
+        )
+
+    slot_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (_VALID_ROWS, 1), 0
+    )  # (_VALID_ROWS, 1): ladder bookkeeping rows
+
+    def slot_body(slot, carry):
+        d2i, valid_acc, win_acc = carry
+        m2 = jnp.min(d2i, axis=1, keepdims=True)  # (B, 1, LANE_i)
+        valid = (m2 < _VALID_MAX).astype(jnp.float32)
+        if exact:
+            eqv = d2i == m2
+            mi = jnp.min(
+                jnp.where(eqv, row_j, LANE), axis=1, keepdims=True
+            )  # (B, 1, LANE) lowest attaining index = winner
+            eq = eqv & (row_j == mi)
+            win = mi
+        else:
+            eq = d2i == m2  # packed entries unique => one-hot
+            win = jnp.bitwise_and(m2, _IDX_MASK)  # packed low bits
+        onehot = (slot_iota == slot)  # (_VALID_ROWS, 1)
+        valid_acc = valid_acc + onehot.astype(jnp.float32)[None] * valid
+        win_acc = win_acc + onehot.astype(jnp.int32)[None] * win
+        return jnp.where(eq, _BIG_PACKED, d2i), valid_acc, win_acc
+
+    zeros_f = jnp.zeros((B, _VALID_ROWS, LANE), jnp.float32)
+    zeros_i = jnp.zeros((B, _VALID_ROWS, LANE), jnp.int32)
+    _, valid_acc, win_acc = jax.lax.fori_loop(
+        0, k, slot_body, (d2i, zeros_f, zeros_i)
+    )
+
+    # hi/lo bf16 feature pairs, then the constant per-member group-gather:
+    # pairsG sublane m*12 + c holds channel c (6 hi + 6 lo) of member m of
+    # each group g (lane).  Eight tiny MXU matmuls against the 0/1
+    # permutation planes perm_ref[m][j, g] = (j == g*8 + m) — bf16 values
+    # pass through exactly, and each dot output is offset-0 so the sublane
+    # concat is Mosaic-legal (a lane-slice concat is not).
+    feats6 = src[:, :6, :]  # (B, 6, LANE)
+    hi = feats6.astype(jnp.bfloat16)
+    lo = (feats6 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    pairs = jnp.concatenate([hi, lo], axis=1)  # (B, 12, LANE) bf16
+    pairsG = jnp.concatenate(
+        [
+            jax.lax.dot_general(
+                pairs,
+                perm_ref[m],
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)
+            for m in range(8)
+        ],
+        axis=1,
+    )  # (B, 96, G) bf16
+
+    g_iota = jax.lax.broadcasted_iota(jnp.int32, (B, G, LANE), 1)
+    m_iota = jax.lax.broadcasted_iota(jnp.int32, (B, 8, LANE), 1)
+
+    for slot in range(k):
+        win = win_acc[:, slot : slot + 1, :]  # (B, 1, LANE) winner index j
+        g_star = jax.lax.shift_right_logical(win, 3)
+        m_star = jnp.bitwise_and(win, 7)
+        G_s = (g_iota == g_star).astype(jnp.bfloat16)  # (B, G, LANE)
+        cand = jax.lax.dot_general(
+            pairsG,
+            G_s,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (B, 96, LANE): winner group's members' hi/lo channels
+        M_s = (m_iota == m_star).astype(jnp.float32)  # (B, 8, LANE)
+        # member-masked sum: nbr[c] = sum_m (hi + lo)[m, c] * M[m]
+        nbr = [
+            sum(
+                (cand[:, m * 12 + c : m * 12 + c + 1, :]
+                 + cand[:, m * 12 + c + 6 : m * 12 + c + 7, :])
+                * M_s[:, m : m + 1, :]
+                for m in range(8)
+            )
+            for c in range(6)
+        ]  # 6 x (B, 1, LANE)
+        valid = valid_acc[:, slot : slot + 1, :]
+        gate = valid * alive_row[:, None, :]
+        rows8 = jnp.concatenate(
+            [(nbr[c] - chan(c)) * gate for c in range(5)]
+            + [nbr[5] * gate, gate, gate],
             axis=1,
         )  # (B, 8, LANE)
         out_ref[:, slot * 8 : (slot + 1) * 8, :] = rows8
@@ -420,14 +587,36 @@ def knn_observation(
     Ep = E + pad_e
 
     obs_rows_pad = ((obs_dim + 7) // 8) * 8  # sublane multiple
-    assert variant in ("packed", "onehot", "mxu", "mxu_exact")
+    assert variant in (
+        "packed", "onehot", "mxu", "mxu_exact", "twolevel", "twolevel_exact"
+    )
     scratch_shapes = []
-    if variant in ("mxu", "mxu_exact"):
+    extra_inputs = []
+    extra_specs = []
+    if variant in ("twolevel", "twolevel_exact"):
+        assert k <= _VALID_ROWS
+        kernel_fn = functools.partial(
+            _knn_obs_kernel_v6, exact=(variant == "twolevel_exact")
+        )
+        # constant per-member permutation planes: perm[m][j, g] = 1 iff
+        # agent j = g*8 + m (see _knn_obs_kernel_v6)
+        SUB = ((n_agents + 7) // 8) * 8
+        Gn = SUB // 8
+        perm = np.zeros((8, LANE, Gn), dtype=np.float32)
+        j = np.arange(SUB)
+        perm[j % 8, j, j // 8] = 1.0
+        extra_inputs = [jnp.asarray(perm, dtype=jnp.bfloat16)]
+        extra_specs = [
+            pl.BlockSpec((8, LANE, Gn), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ]
+    elif variant in ("mxu", "mxu_exact"):
         assert k <= _VALID_ROWS
         kernel_fn = functools.partial(
             _knn_obs_kernel_v3, exact=(variant == "mxu_exact")
         )
-        scratch_shapes = [pltpu.VMEM((B, LANE, k * LANE), jnp.bfloat16)]
+        SUB = ((n_agents + 7) // 8) * 8
+        scratch_shapes = [pltpu.VMEM((B, SUB, k * LANE), jnp.bfloat16)]
     elif variant == "packed":
         kernel_fn = _knn_obs_kernel_v2
     else:
@@ -439,14 +628,14 @@ def knn_observation(
         in_specs=[
             pl.BlockSpec((B, 2, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, 8, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        ] + extra_specs,
         out_specs=pl.BlockSpec(
             (B, obs_rows_pad, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((Ep, obs_rows_pad, LANE), jnp.float32),
         scratch_shapes=scratch_shapes,
         interpret=interpret,
-    )(xy, src)
+    )(xy, src, *extra_inputs)
 
     if raw_out:
         return out[:E]

@@ -76,19 +76,26 @@ def build_flagship(num_envs: int = 64, fc_dims=(256, 256), seed: int = 0,
     # observations (the neighbor type channel) differ between builds even
     # from identical physical states
     kwargs.setdefault("seed", seed)
-    # kNN algorithm default for the flagship: "packed" — the packed-index
-    # monotonic ladder, TPU-verified 630K env-steps/s env-only vs 240K for
-    # the exact "passes" rewrite loop (artifacts/round2/tpu_verify_packed
-    # .log); on a real rolled state it differs from exact selection in
-    # 3/67200 slots (quantized near-tie index tie-breaks,
-    # artifacts/round2/tpu_knn_tie_diag2.log) — immaterial for RL rollouts;
-    # pass knn_algorithm="passes"/"ladder" for bit-exact selection
-    kwargs.setdefault("knn_algorithm", "packed")
-    # neighbor-feature selection default: "bf16pair" — MXU one-hot matmul
-    # with hi/lo bfloat16 feature pairs, ~10% faster whole-loop than the
-    # fused VPU masked-sum on v5e (822K vs 747K env-steps/s env-only,
-    # artifacts/round2/tpu_knn_select_mxu.log) at ~4e-6 absolute obs
-    # error; pass knn_select="fused" for exact selection
+    # kNN algorithm default for the flagship: "pallas_mxu_exact" — the
+    # VMEM-resident fused Mosaic kernel (ops/knn_obs.py v3/v4: packed-
+    # argmin ladder on a trimmed candidate axis + one in-kernel bf16
+    # hi/lo MXU selection matmul) in its EXACT-tie mode: 0/67,200 slot
+    # deviations vs the numpy reference on a rolled on-chip state (max
+    # abs 3.8e-6 bf16 feature rounding — far below the 1% consistency
+    # bar), 935K env-steps/s env-only @1000 envs vs 951K for the
+    # round-2 XLA "packed"+bf16pair default WHICH FAILS the consistency
+    # oracle on near-tie tie-breaks (tests/
+    # test_consistency_flagship_bench_config.py).  The quantized-tie
+    # variant "pallas_mxu" is ~18% faster (1106K) — bench.py reports it
+    # as a separate, clearly-labeled stage.  A/Bs: artifacts/round3/
+    # r3_ab2..r3_ab8; design notes docs/performance.md §5-6.
+    kwargs.setdefault("knn_algorithm", "pallas_mxu_exact")
+    # neighbor-feature selection for the XLA algorithms (ladder/packed/
+    # topk/approx): "bf16pair" — MXU one-hot matmul with hi/lo bfloat16
+    # feature pairs, ~10% faster whole-loop than the fused VPU masked-sum
+    # on v5e (artifacts/round2/tpu_knn_select_mxu.log) at ~4e-6 absolute
+    # obs error.  (The pallas kernels do their own in-kernel selection;
+    # this knob is inert for them.)
     kwargs.setdefault("knn_select", "bf16pair")
     if knn_algorithm is not None:
         kwargs["knn_algorithm"] = knn_algorithm
