@@ -93,7 +93,11 @@ def _probe(run_config: dict, env_setup, timeout_s: int = None) -> bool:
     env = dict(os.environ)
     on_cpu = env.get("JAX_PLATFORMS", "") == "cpu"
     if timeout_s is None:
-        timeout_s = 900 if on_cpu else 3600
+        # overridable: a chip-side claim wedge otherwise costs a full hour
+        # per subsequent probe (docs/performance.md)
+        timeout_s = int(
+            os.environ.get("WD_PROBE_TIMEOUT_S", 900 if on_cpu else 3600)
+        )
     if on_cpu:
         # CPU probes (tests / machines without a chip) must not run the
         # TPU-plugin sitecustomize hook: its registration can block on the
