@@ -146,13 +146,24 @@ def _probe(run_config: dict, env_setup, timeout_s: int = None) -> bool:
 # `num_minibatches` slices the update over the env axis (exact too: the
 # return recursion never crosses envs).  Rung 0 is the config as given;
 # each later rung trades a little update speed for a lot of memory.
+# Escalation ladder: policy-level knobs (remat, env-axis update
+# minibatching) first, then the TRAINER-level storage levers measured on
+# the chip in round 3: bfloat16 batch storage halves the dominant stored
+# rollout (the (T, E, N, obs) batch), and update_recompute_obs removes it
+# entirely (stores the compact physical state, re-derives obs in the loss
+# forward — slower per step, artifacts/round3/r3_ab1, but the strongest
+# memory lever).  Keys in _TRAINER_KNOBS apply to trial["trainer"];
+# everything else to each trained policy.
 MEMORY_KNOB_LADDER = (
     {},
     {"remat": True},
-    {"remat": True, "num_minibatches": 2},
     {"remat": True, "num_minibatches": 4},
-    {"remat": True, "num_minibatches": 8},
+    {"remat": True, "num_minibatches": 8, "batch_dtype": "bfloat16"},
+    {"remat": True, "num_minibatches": 8, "batch_dtype": "bfloat16",
+     "update_recompute_obs": True},
 )
+
+_TRAINER_KNOBS = ("batch_dtype", "update_recompute_obs")
 
 
 def _effective_minibatches(num_envs: int, target: int) -> int:
@@ -166,14 +177,18 @@ def _effective_minibatches(num_envs: int, target: int) -> int:
 
 def _with_knobs(run_config: dict, knobs: dict, num_envs: int) -> dict:
     trial = copy.deepcopy(run_config)
+    pol_knobs = {k: v for k, v in knobs.items() if k not in _TRAINER_KNOBS}
     for pol in trial.get("policy", {}).values():
-        if pol.get("to_train", True) and knobs:
-            eff = dict(knobs)
+        if pol.get("to_train", True) and pol_knobs:
+            eff = dict(pol_knobs)
             if "num_minibatches" in eff:
                 eff["num_minibatches"] = _effective_minibatches(
                     num_envs, eff["num_minibatches"]
                 )
             pol.update(eff)
+    for k in _TRAINER_KNOBS:
+        if k in knobs:
+            trial["trainer"][k] = knobs[k]
     return trial
 
 
