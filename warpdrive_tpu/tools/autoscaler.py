@@ -252,10 +252,22 @@ def perform_auto_vertical_scaling(
     out = _with_knobs(run_config, knobs, best_envs)
     out["trainer"]["num_envs"] = best_envs
     out["trainer"]["train_batch_size"] = best_envs * batch_per_env * best_mult
+    # scale the episode budget with the env count so the scaled config
+    # still runs the base config's iteration count (a 10x env scale-up
+    # with the base num_episodes would not cover even ONE iteration —
+    # TrainerBase rejects that; reference vertical_scaler.py keeps
+    # num_episodes user-owned but its trainer floors at 1 iteration)
+    if "num_episodes" in out.get("trainer", {}):
+        scale = max(1, (best_envs * best_mult + base_envs - 1) // base_envs)
+        out["trainer"]["num_episodes"] = int(
+            out["trainer"]["num_episodes"] * scale
+        )
     logging.info(
-        "autoscaler: selected num_envs=%d train_batch_size=%d knobs=%s",
+        "autoscaler: selected num_envs=%d train_batch_size=%d "
+        "num_episodes=%s knobs=%s",
         out["trainer"]["num_envs"],
         out["trainer"]["train_batch_size"],
+        out["trainer"].get("num_episodes"),
         knobs,
     )
     return out
