@@ -148,9 +148,14 @@ def main():
         ref_params[tag] = ref_state_dict_to_flax(sd, k_nbr, obs_dim)
 
     def find_ours(tag):
-        cands = sorted(glob.glob(f"{our_dir}/**/{tag}_*.state_dict",
-                                 recursive=True),
-                       key=lambda p: int(p.rsplit("_", 1)[1].split(".")[0]))
+        import re
+        def steps(p):
+            m = re.search(r"_(\d+)\.state_dict$", p)
+            return int(m.group(1)) if m else -1
+        cands = sorted(
+            (p for p in glob.glob(f"{our_dir}/**/{tag}_*.state_dict",
+                                  recursive=True) if steps(p) >= 0),
+            key=steps)
         return cands[-1] if cands else None
 
     # 1) untrained baseline (fresh init)
