@@ -89,6 +89,10 @@ def main():
         jax.config.update("jax_platforms", forced)
 
     from warpdrive_tpu.presets import build_flagship
+    # shared by several independent stages — imported here so one stage's
+    # failure cannot cascade as a NameError into later stages
+    from warpdrive_tpu.envs.engine import EnvEngine
+    from warpdrive_tpu.utils.constants import Constants as _C
 
     print("[bench] acquiring device...", file=sys.stderr, flush=True)
     try:
@@ -250,7 +254,6 @@ def main():
         print("[bench] compiling + timing training iteration...", file=sys.stderr, flush=True)
         import numpy as _np
 
-        from warpdrive_tpu.envs.engine import EnvEngine
         from warpdrive_tpu.envs.tag_gridworld import TpuTagGridWorld
         from warpdrive_tpu.training.trainer_a2c import TrainerA2C
 
@@ -306,7 +309,6 @@ def main():
     try:
         print("[bench] compiling + timing TagGridWorld env-only rollout...",
               file=sys.stderr, flush=True)
-        from warpdrive_tpu.utils.constants import Constants as _C
 
         genv = TpuTagGridWorld(
             num_taggers=4, grid_length=20, episode_length=100, seed=7,

@@ -120,3 +120,24 @@ def test_gym_spaces_env_trains():
     assert np.isfinite(
         float(np.asarray(metrics["shared"]["Total loss"]))
     )
+
+
+def test_multibinary_and_discrete_start():
+    """MultiBinary must not silently become Discrete(n); a nonzero
+    Discrete.start must be rejected (actions here are 0-based)."""
+    import pytest
+    from gymnasium import spaces as gspaces
+
+    from warpdrive_tpu.utils.spaces import (
+        Discrete,
+        MultiDiscrete,
+        normalize_space,
+    )
+
+    mb = normalize_space(gspaces.MultiBinary(3))
+    assert isinstance(mb, MultiDiscrete)
+    assert list(mb.nvec) == [2, 2, 2]
+
+    assert isinstance(normalize_space(gspaces.Discrete(4)), Discrete)
+    with pytest.raises(TypeError, match="start"):
+        normalize_space(gspaces.Discrete(4, start=1))

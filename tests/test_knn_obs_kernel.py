@@ -284,3 +284,18 @@ def test_knn_select_bf16pair_close():
     obs_a = np.asarray(eng_a.observe(state))
     obs_b = np.asarray(eng_b.observe(state))
     np.testing.assert_allclose(obs_a, obs_b, atol=2e-5, rtol=0)
+
+
+def test_pallas_rejects_beyond_lane_limit():
+    """pallas* algorithms cap at 128 agents (one lane tile) and must fail
+    LOUDLY at construction with a pointer to the XLA algorithms, not via a
+    bare assert at first observe trace."""
+    import pytest
+
+    with pytest.raises(ValueError, match="128"):
+        TpuTagContinuous(
+            num_taggers=20, num_runners=120, grid_length=20.0,
+            episode_length=10, use_full_observation=False,
+            num_other_agents_observed=10,
+            knn_algorithm="pallas_mxu_exact",
+        )

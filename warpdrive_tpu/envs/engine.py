@@ -309,6 +309,27 @@ class EnvEngine:
 
             self.step_physics = step_physics
             self.observe = observe
+
+            if observe_batch is not None:
+                # the env provides a BATCHED observe (e.g. the fused Mosaic
+                # kNN kernel): compose the full step from it too, so
+                # step_all_envs / the consistency oracle exercise the SAME
+                # observation path production rollouts run (vmapped
+                # per-replica observe_fn may intentionally fall back to a
+                # reference algorithm — tag_continuous.py pallas* modes)
+                def step_batched(state: dict, actions=None) -> dict:
+                    # split-step => shared Box obs placeholder (asserted
+                    # above), so the obs array name is Constants.OBSERVATIONS
+                    if actions is not None:
+                        state = write_actions(state, actions)
+                    out = step_physics(state, state[_ACTIONS])
+                    out[_OBS] = observe_batch(dict(out)).astype(
+                        out[_OBS].dtype
+                    )
+                    return out
+
+                self.step = step_batched
+                self._jit_step = jax.jit(step_batched)
         else:
             self.step_physics = None
             self.observe = None

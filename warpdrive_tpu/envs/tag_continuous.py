@@ -161,6 +161,14 @@ class TagContinuous:
         self.num_taggers = int(num_taggers)
         self.num_runners_initial = int(num_runners)
         self.num_agents = self.num_taggers + self.num_runners_initial
+        if knn_algorithm.startswith("pallas") and self.num_agents > 128:
+            raise ValueError(
+                f"knn_algorithm={knn_algorithm!r} (the fused Mosaic kernel) "
+                f"supports at most 128 agents (one TPU lane tile); this env "
+                f"has {self.num_agents}. Use an XLA algorithm instead — "
+                "'approx' (lax.approx_min_k, exact and single-pass, the "
+                "1024-agent bench choice) or 'ladder'/'packed'."
+            )
         self.episode_length = int(episode_length)
         self.grid_length = np.float32(grid_length)
         self.grid_diagonal = np.float32(self.grid_length * np.sqrt(2))

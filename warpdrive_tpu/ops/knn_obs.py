@@ -242,7 +242,8 @@ def _knn_obs_kernel_v3(xy_ref, src_ref, out_ref, acc_ref, *, n_agents: int,
       xy_ref:  (B, 2, LANE) f32 — loc_x, loc_y
       src_ref: (B, 8, LANE) f32 — [5 feats, type, still, t_norm]
       out_ref: (B, OBS_PAD_ROWS, LANE) f32 — slot-major obs rows
-      acc_ref: (B, LANE, k*LANE) bf16 scratch — transposed slot one-hots
+      acc_ref: (B, SUB, k*LANE) bf16 scratch — transposed slot one-hots,
+               candidate axis trimmed to SUB = ceil(n_agents/8)*8
     """
     B = xy_ref.shape[0]
     # candidate (sublane) axis trimmed to the agent count's tile multiple
@@ -377,14 +378,15 @@ def _knn_obs_kernel_v6(xy_ref, src_ref, perm_ref, out_ref, *, n_agents: int,
     * with no giant scratch, larger env blocks amortize the measured
       0.23 ms/1000-env launch floor.
 
-    The feature re-grouping rides a CONSTANT permutation matmul
-    ``perm_ref`` (LANE, SUB): out lane m*G + g holds agent j = g*8 + m —
-    a 0/1 bf16 matrix, so the permuted hi/lo pairs stay exact.
+    The feature re-grouping rides CONSTANT permutation matmuls
+    ``perm_ref[m]`` (LANE, G): plane m maps agent j = g*8 + m to group
+    lane g — 0/1 bf16 matrices, so the permuted hi/lo pairs stay exact.
 
     Refs:
       xy_ref:   (B, 2, LANE) f32 — loc_x, loc_y
       src_ref:  (B, 8, LANE) f32 — [5 feats, type, still, t_norm]
-      perm_ref: (LANE, SUB) bf16 — constant (m, g) permutation
+      perm_ref: (8, LANE, G) bf16 — per-member (j, g) permutation planes,
+                G = SUB // 8
       out_ref:  (B, OBS_PAD_ROWS, LANE) f32 — slot-major obs rows
     """
     B = xy_ref.shape[0]

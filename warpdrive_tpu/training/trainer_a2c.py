@@ -443,27 +443,37 @@ class TrainerA2C(TrainerBase):
                 opt_cur = opt_all[tag]
                 from warpdrive_tpu.algos.policygradient import PPO as _PPO
 
+                from warpdrive_tpu.algos.policygradient import (
+                    _logp_and_entropy,
+                )
+
+                mb_old_lp = False
                 if (num_epochs > 1 or num_mb > 1) and isinstance(algo, _PPO):
                     # multi-epoch PPO (beyond reference parity): fix the
                     # behavior-policy log-probs before the first update so
                     # the clipped ratio is meaningful across epochs. A2C
                     # never reads old_log_prob, so skip this full-batch
                     # forward when only minibatching an A2C update.
-                    from warpdrive_tpu.algos.policygradient import (
-                        _logp_and_entropy,
-                    )
-
                     if obs_b is None:
-                        obs0, mask0 = self._derive_obs(phys_b, tag)
+                        # update_recompute_obs: deriving the FULL obs batch
+                        # here would materialize exactly the tensor the
+                        # knob exists to avoid — compute the behavior
+                        # log-probs per minibatch inside mb_loss instead
+                        # (at the pre-update params p0, one extra forward
+                        # per epoch worth of FLOPs, zero extra storage)
+                        old_lp = None
+                        mb_old_lp = True
                     else:
-                        obs0, mask0 = obs_b, mask_b
-                    logits0, _ = self._policy_forward(
-                        tag, p_cur, obs0, action_mask=mask0
-                    )
-                    old_lp, _ = _logp_and_entropy(logits0, batch[f"actions_{tag}"])
-                    old_lp = jax.lax.stop_gradient(old_lp)
+                        logits0, _ = self._policy_forward(
+                            tag, p_cur, obs_b, action_mask=mask_b
+                        )
+                        old_lp, _ = _logp_and_entropy(
+                            logits0, batch[f"actions_{tag}"]
+                        )
+                        old_lp = jax.lax.stop_gradient(old_lp)
                 else:
                     old_lp = None
+                p0 = p_cur  # behavior params for mb_old_lp
 
                 def apply_grads(p_cur, opt_cur, grads):
                     updates, opt_cur = self.optimizers[tag].update(
@@ -539,6 +549,16 @@ class TrainerA2C(TrainerBase):
                             obs_mb, mask_mb = self._derive_obs(phys_mb, tag)
                         else:
                             obs_mb, mask_mb = take(obs_b), take(mask_b)
+                        act_mb = take(act_b)
+                        olp_mb = take(old_lp_full)
+                        if mb_old_lp:
+                            # recompute-obs PPO: behavior log-probs from the
+                            # pre-update params on THIS minibatch's obs
+                            logits0_mb, _ = self._policy_forward(
+                                tag, p0, obs_mb, action_mask=mask_mb
+                            )
+                            olp_mb, _ = _logp_and_entropy(logits0_mb, act_mb)
+                            olp_mb = jax.lax.stop_gradient(olp_mb)
                         logits_list, values = self._policy_forward(
                             tag, p, obs_mb,
                             action_mask=mask_mb,
@@ -546,14 +566,14 @@ class TrainerA2C(TrainerBase):
                         )
                         return algo.compute_loss_and_metrics(
                             timestep,
-                            take(act_b),
+                            act_mb,
                             take(rew_b),
                             take(done_b),
                             logits_list,
                             values,
                             negative_positive_ratio=self.neg_pos_env_ratio,
                             downsample_key=dk_e,
-                            old_log_prob=take(old_lp_full),
+                            old_log_prob=olp_mb,
                         )
 
                     def mb_step(c, inp):

@@ -227,9 +227,18 @@ class TrainerBase:
             # standalone per-device trainers diversify by rank (reference
             # trainer_base.py:249-256 semantics)
             seed += self.device_id + jax.process_index() * 1000
-        # else: ONE SPMD program spans all processes — host-side rng keys
-        # are replicated program inputs and MUST be identical on every
-        # process (GSPMD invariant; see parallel/mesh.py docstring)
+        elif trainer_cfg.get("seed") is None and jax.process_count() > 1:
+            # ONE SPMD program spans all processes — host-side rng keys are
+            # replicated program inputs and MUST be identical on every
+            # process (GSPMD invariant; see parallel/mesh.py docstring).
+            # An explicit configured seed is identical by construction; the
+            # LAZY default above is an independent per-process draw, so
+            # broadcast process 0's draw to everyone.
+            from jax.experimental import multihost_utils
+
+            seed = int(
+                multihost_utils.broadcast_one_to_all(np.int32(seed))
+            )
         self.seed = seed
         self._rng = jax.random.PRNGKey(seed)
 

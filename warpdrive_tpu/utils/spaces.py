@@ -165,6 +165,22 @@ def normalize_space(space):
     if hasattr(space, "nvec"):
         return MultiDiscrete(np.asarray(space.nvec))
     if hasattr(space, "n"):
+        # gym/gymnasium MultiBinary ALSO exposes .n but means "n binary
+        # components", not "one integer in [0, n)" — converting it to
+        # Discrete(n) would silently produce wrong action shapes; model
+        # it faithfully as MultiDiscrete([2] * n)
+        if type(space).__name__ == "MultiBinary":
+            return MultiDiscrete(np.full(int(np.prod(space.n)), 2))
+        # gymnasium Discrete supports a nonzero `start`; the native space
+        # (and the samplers/env contract) assume actions in [0, n) — a
+        # silent shift would off-by-one every action
+        start = int(getattr(space, "start", 0))
+        if start != 0:
+            raise TypeError(
+                f"gym Discrete(start={start}) is not supported: "
+                "warpdrive-tpu actions are 0-based — shift the env's "
+                "action semantics or wrap the space"
+            )
         return Discrete(int(space.n))
     if hasattr(space, "low") and hasattr(space, "high"):
         return Box(
