@@ -156,3 +156,36 @@ def test_memory_knobs_disabled_matches_plain_search():
         probe_fn=fake_probe,
     )
     assert out["trainer"]["num_envs"] == 16
+
+
+def test_throughput_aware_selection():
+    """The final config is the highest-THROUGHPUT feasible probe, not the
+    size-max: deep storage rungs fit more envs but can train slower
+    (measured on-chip: recompute_obs rung 7x slower)."""
+    from warpdrive_tpu.tools.autoscaler import perform_auto_vertical_scaling
+
+    def probe(trial, env_setup):
+        envs = trial["trainer"]["num_envs"]
+        pol = trial["policy"]["p"]
+        deep = trial["trainer"].get("update_recompute_obs", False)
+        # plain rung fits to 200 envs; the deep rung to 800 — but runs at
+        # 1/10 the rate
+        if not pol.get("remat"):
+            ok = envs <= 200
+        elif deep:
+            ok = envs <= 800
+        else:
+            ok = envs <= 200  # intermediate rungs don't help here
+        rate = envs * (10.0 if not deep else 1.0)
+        return ok, (rate if ok else None)
+
+    cfg = {
+        "trainer": {"num_envs": 100, "train_batch_size": 1000,
+                    "num_episodes": 500},
+        "policy": {"p": {"to_train": True}},
+    }
+    out = perform_auto_vertical_scaling(cfg, ("dummy",), probe_fn=probe)
+    # size-max would be 800 envs on the deep rung (rate 800); the
+    # throughput winner is 200 envs on a shallow rung (rate 2000)
+    assert out["trainer"]["num_envs"] == 200
+    assert not out["trainer"].get("update_recompute_obs", False)

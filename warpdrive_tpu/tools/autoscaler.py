@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import copy
 import json
+import re
 import logging
 import os
 import subprocess
@@ -70,8 +71,17 @@ try:
     run_config["trainer"]["num_episodes"] = max(1, bs // ep_len + 1)
     run_config["saving"]["metrics_log_freq"] = 10**9
     run_config["saving"]["model_params_save_freq"] = 10**9
-    setup_trainer_and_train(run_config, env_setup=env_setup, verbose=False)
-    print("PROBE_OK")
+    trainer = setup_trainer_and_train(
+        run_config, env_setup=env_setup, verbose=False
+    )
+    # measured post-compile rate: the scaler selects the highest-THROUGHPUT
+    # feasible config, not merely the largest (deep storage knobs fit more
+    # but can train slower)
+    try:
+        rate = trainer.profile_phases(repeats=2)["steps_per_sec"]
+    except Exception:  # noqa: BLE001 — rate is advisory; fit result stands
+        rate = 0.0
+    print(f"PROBE_OK steps_per_sec={rate:.1f}")
 except Exception as e:  # noqa: BLE001 — any failure means "does not fit"
     print(f"PROBE_FAIL: {type(e).__name__}: {e}")
     sys.exit(1)
@@ -118,14 +128,24 @@ def _probe(run_config: dict, env_setup, timeout_s: int = None) -> bool:
             env=env,
         )
         ok = proc.returncode == 0 and "PROBE_OK" in proc.stdout
-        if not ok:
+        rate = None
+        if ok:
+            m = re.search(r"steps_per_sec=([\d.]+)", proc.stdout)
+            rate = float(m.group(1)) if m else None
             logging.info(
-                "autoscaler probe failed (num_envs=%s batch=%s): %s",
+                "autoscaler probe ok (num_envs=%s batch=%s): %s steps/s",
                 run_config["trainer"]["num_envs"],
                 run_config["trainer"]["train_batch_size"],
-                (proc.stdout + proc.stderr)[-500:],
+                f"{rate:.0f}" if rate else "unmeasured",
             )
-        return ok
+            return True, rate
+        logging.info(
+            "autoscaler probe failed (num_envs=%s batch=%s): %s",
+            run_config["trainer"]["num_envs"],
+            run_config["trainer"]["train_batch_size"],
+            (proc.stdout + proc.stderr)[-500:],
+        )
+        return False, None
     except subprocess.TimeoutExpired:
         logging.warning(
             "autoscaler probe timed out after %ss — treating as infeasible. "
@@ -134,7 +154,7 @@ def _probe(run_config: dict, env_setup, timeout_s: int = None) -> bool:
             "(docs/performance.md).",
             timeout_s,
         )
-        return False
+        return False, None
     finally:
         os.unlink(path)
 
@@ -206,13 +226,20 @@ def perform_auto_vertical_scaling(
 
     Beyond the reference: when a trial does not fit, the scaler escalates
     through :data:`MEMORY_KNOB_LADDER` (``remat``, then env-axis update
-    minibatching) before declaring the size infeasible — the chosen rung is
-    monotone over the search (a knob needed at N envs stays on for >N) and
-    the selected knobs are written into the returned config.
+    minibatching, then the trainer-level storage levers) before declaring
+    the size infeasible — the chosen rung is monotone over the search (a
+    knob needed at N envs stays on for >N) and the selected knobs are
+    written into the returned config.  Every successful probe also reports
+    its measured training rate, and the FINAL config is the highest-
+    THROUGHPUT feasible one seen — not merely the largest: the deepest
+    storage knobs (e.g. ``update_recompute_obs``) trade speed for fit, so
+    the size-max config can train slower than smaller rungs (measured on
+    the chip: 1600 envs @ rung-5 ran 7x slower than 800 @ rung-3).
 
-    ``probe_fn(run_config, env_setup) -> bool`` is injectable for tests.
+    ``probe_fn(run_config, env_setup) -> bool | (bool, steps_per_sec)`` is
+    injectable for tests.
     """
-    probe = probe_fn or _probe
+    raw_probe = probe_fn or _probe
     base = copy.deepcopy(run_config)
     base_envs = int(base["trainer"]["num_envs"])
     batch_per_env = max(
@@ -220,13 +247,23 @@ def perform_auto_vertical_scaling(
     )
     ladder = MEMORY_KNOB_LADDER if use_memory_knobs else ({},)
     state = {"rung": 0}
+    measured = []  # (steps_per_sec, num_envs, mult, rung) for successes
+
+    def probe(trial, rung, mult=1):
+        res = raw_probe(trial, env_setup)
+        ok, rate = res if isinstance(res, tuple) else (res, None)
+        if ok and rate:
+            measured.append(
+                (float(rate), int(trial["trainer"]["num_envs"]), mult, rung)
+            )
+        return ok
 
     def envs_valid(num_envs: int) -> bool:
         for rung in range(state["rung"], len(ladder)):
             trial = _with_knobs(base, ladder[rung], num_envs)
             trial["trainer"]["num_envs"] = num_envs
             trial["trainer"]["train_batch_size"] = num_envs * batch_per_env
-            if probe(trial, env_setup):
+            if probe(trial, rung):
                 if rung != state["rung"]:
                     logging.info(
                         "autoscaler: escalating memory knobs to %s at "
@@ -244,10 +281,24 @@ def perform_auto_vertical_scaling(
         trial = _with_knobs(base, knobs, best_envs)
         trial["trainer"]["num_envs"] = best_envs
         trial["trainer"]["train_batch_size"] = best_envs * batch_per_env * mult
-        return probe(trial, env_setup)
+        return probe(trial, state["rung"], mult)
 
     logging.info("autoscaler: searching max batch multiple at %d envs ...", best_envs)
     best_mult = best_param_search(batch_valid, low=1)
+
+    if measured:
+        # throughput-aware final selection among every feasible probe
+        rate, t_envs, t_mult, t_rung = max(measured)
+        size_max = (best_envs, best_mult, state["rung"])
+        if (t_envs, t_mult, t_rung) != size_max:
+            logging.info(
+                "autoscaler: size-max config %s measured SLOWER than "
+                "(envs=%d, mult=%d, rung=%d) at %.0f steps/s — selecting "
+                "the throughput winner", size_max, t_envs, t_mult, t_rung,
+                rate,
+            )
+        best_envs, best_mult = t_envs, t_mult
+        knobs = ladder[t_rung]
 
     out = _with_knobs(run_config, knobs, best_envs)
     out["trainer"]["num_envs"] = best_envs
