@@ -257,7 +257,11 @@ def main():
         from warpdrive_tpu.envs.tag_gridworld import TpuTagGridWorld
         from warpdrive_tpu.training.trainer_a2c import TrainerA2C
 
-        t_envs = 2000 if on_tpu else 16
+        # 32K replicas + bf16 model/batch + env-axis minibatching: the
+        # measured training optimum (artifacts/round3/r3_ab10: 4.79M
+        # @2000 f32 -> 11.54M @32000 bf16+mb4 — big fleets amortize the
+        # per-step policy/sampling/storage overheads)
+        t_envs = 32000 if on_tpu else 16
         T_train = 100 if on_tpu else 10
         env = TpuTagGridWorld(
             num_taggers=4, grid_length=20, episode_length=100, seed=7,
@@ -272,11 +276,16 @@ def main():
                 "num_episodes": 4 * T_train * t_envs // 100,
                 "train_batch_size": T_train * t_envs,
                 "seed": 1,
+                "batch_dtype": "bfloat16" if on_tpu else "float32",
             },
             "policy": {"shared": {"to_train": True, "gamma": 0.98,
                                   "lr": 0.001,
+                                  "num_minibatches": 4 if on_tpu else 1,
+                                  "shuffle_minibatches": False,
                                   "model": {"type": "fully_connected",
-                                            "fc_dims": [64, 64]}}},
+                                            "fc_dims": [64, 64],
+                                            **({"dtype": "bfloat16"}
+                                               if on_tpu else {})}}},
             "saving": {"metrics_log_freq": 10**9,
                        "model_params_save_freq": 10**9,
                        "basedir": "/tmp", "name": "bench", "tag": "t"},
@@ -304,17 +313,20 @@ def main():
 
     # discrete-Tag env-simulation rate: the configuration class the
     # reference's headline ~9.8M env-steps/s figure actually measures
-    # (JMLR 23(316): discrete Tag, 5 agents, 2000 envs, V100).  Random
-    # actions + observation build + done-driven auto-reset in one scan.
+    # (JMLR 23(316): discrete Tag, 5 agents, V100).  Random actions +
+    # observation build + done-driven auto-reset in one scan.  32K
+    # replicas is the measured on-chip optimum (artifacts/round3/
+    # r3_ab11: 15.6M @2000, 26.2M @8000, 31.4M @32000, 29.7M @64000).
     try:
         print("[bench] compiling + timing TagGridWorld env-only rollout...",
               file=sys.stderr, flush=True)
 
+        ge_envs = 32000 if on_tpu else 16
         genv = TpuTagGridWorld(
             num_taggers=4, grid_length=20, episode_length=100, seed=7,
             use_full_observation=False,
         )
-        gengine = EnvEngine(env_obj=genv, num_envs=t_envs, seed=7)
+        gengine = EnvEngine(env_obj=genv, num_envs=ge_envs, seed=7)
         g_state = dict(gengine.state)
         g_nact = genv.action_space[0].n
         g_nagents = gengine.n_agents
@@ -326,14 +338,14 @@ def main():
             state, checksum = carry
             k_act, k_reset = jax.random.split(key)
             actions = jax.random.randint(
-                k_act, (t_envs, g_nagents), 0, g_nact, dtype=jnp.int32
+                k_act, (ge_envs, g_nagents), 0, g_nact, dtype=jnp.int32
             )
             state = gengine.step(state, actions)
             checksum = checksum + state[_C.OBSERVATIONS].sum()
             return gengine.auto_reset(state, k_reset), checksum
 
         g_rate = rollout_rate(
-            g_env_step, (g_state, jnp.zeros(())), n_steps, t_envs, key
+            g_env_step, (g_state, jnp.zeros(())), n_steps, ge_envs, key
         )
         print(
             json.dumps(
@@ -342,7 +354,7 @@ def main():
                     "value": round(g_rate),
                     "unit": "env_steps/s",
                     "vs_baseline": round(g_rate / BASELINE_ENV_STEPS_PER_S, 4),
-                    "num_envs": t_envs,
+                    "num_envs": ge_envs,
                     "num_agents": int(g_nagents),
                     "platform": platform,
                 }
