@@ -419,9 +419,11 @@ def main():
 
     # 1024-agent TagContinuous: the top of the reference's agents-per-env
     # envelope (README.md:13-26 "up to 1024 agents"; BASELINE.json config
-    # #5).  The O(N^2) distance matrix is 1024^2 x 4B = 4 MB/env, so the
-    # replica count stays modest; the approx (PartialReduce) kNN keeps the
-    # matrix single-pass.
+    # #5).  The O(N^2) distance matrix is 1024^2 x 4B = 4 MB/env.  The
+    # EXACT monotonic ladder wins at this scale (artifacts/round3/
+    # r3_ab12: ladder 13.7K env-steps/s @E=64 vs approx 3.9K — the
+    # single-pass PartialReduce loses to k fused min passes here too;
+    # near-tie "packed" reaches 17.9K for anyone trading exactness).
     try:
         print("[bench] compiling + timing 1024-agent TagContinuous...",
               file=sys.stderr, flush=True)
@@ -432,11 +434,11 @@ def main():
             FLAGSHIP_ENV_KWARGS as _FK,
         )
 
-        a_envs = 16 if on_tpu else 2
+        a_envs = 64 if on_tpu else 2
         a_steps = 100 if on_tpu else 5
         aenv = _TTC(**dict(
             _FK, num_taggers=20, num_runners=1004, grid_length=60.0,
-            seed=0, knn_algorithm="approx", knn_select="bf16pair"))
+            seed=0, knn_algorithm="ladder", knn_select="bf16pair"))
         aengine = EnvEngine(env_obj=aenv, num_envs=a_envs, seed=0)
         a_state = {k: v for k, v in aengine.state.items()
                    if k not in ("observations", "sampled_actions")}
