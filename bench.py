@@ -153,7 +153,7 @@ def main():
                 # a rolled on-chip state (artifacts/round3/r3_ab7); the
                 # consistency oracle passes on this exact config
                 # (tests/test_consistency_flagship_bench_config.py)
-                "knn_algorithm": "pallas_mxu_exact",
+                "knn_algorithm": sys_["env"].knn_algorithm,
                 "platform": platform,
             }
         ),
@@ -174,7 +174,7 @@ def main():
         "vs_baseline": round(env_rate / BASELINE_ENV_STEPS_PER_S, 4),
         "num_envs": num_envs,
         "num_agents": sys_["num_agents"],
-        "knn_algorithm": "pallas_mxu_exact",
+        "knn_algorithm": sys_["env"].knn_algorithm,
         "platform": platform,
     }
     print("[bench] compiling + timing full loop...", file=sys.stderr, flush=True)
@@ -303,6 +303,15 @@ def main():
                     ),
                     "rollout_ms": round(prof["rollout_ms"], 2),
                     "update_ms": round(prof["update_ms"], 2),
+                    # storage/update knobs this number was measured with —
+                    # NOT comparable to an all-f32 single-minibatch run
+                    "batch_dtype": cfg["trainer"]["batch_dtype"],
+                    "model_dtype": cfg["policy"]["shared"]["model"].get(
+                        "dtype", "float32"
+                    ),
+                    "num_minibatches": cfg["policy"]["shared"][
+                        "num_minibatches"
+                    ],
                     "platform": platform,
                 }
             ),

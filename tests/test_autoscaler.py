@@ -76,9 +76,12 @@ def test_autoscaler_real_subprocess_probe():
             "model_params_save_freq": 10**9,
         },
     }
-    assert autoscaler._probe(
+    ok, rate = autoscaler._probe(
         cfg, ("ClassicControlCartPoleEnv", "single", "a2c"), timeout_s=600
     )
+    assert ok
+    # the probe also measures a post-compile rate (throughput-aware scaler)
+    assert rate is not None and rate > 0
 
 
 def test_argfix_forwards_deprecated_kwarg():

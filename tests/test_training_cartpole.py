@@ -118,8 +118,13 @@ def test_profile_phases_breakdown(tmp_path):
     # rollout is a strict subset of the iteration; the factor is generous
     # because CI machines measure a ~3 ms program under load
     assert prof["rollout_ms"] <= prof["iteration_ms"] * 2.5
-    # breakdown must sum to the measured iteration time
-    assert abs(prof["rollout_ms"] + prof["update_ms"] - prof["iteration_ms"]) < 1e-6 * max(prof["iteration_ms"], 1.0) + 1e-3
+    # the update phase is now timed DIRECTLY (an update-only program on a
+    # materialized batch) — never the residual max(iter - rollout, 0),
+    # which collapses to 0 whenever variance exceeds the update cost
+    assert prof["update_ms_direct"] is True
+    assert prof["update_ms"] > 0
+    # the residual estimate is still reported for reference
+    assert prof["update_ms_residual"] >= 0
     # ... and it feeds the logged perf stats
     stats = trainer.perf_stats.get_perf_stats()
     assert "Rollout time per iter (ms)" in stats

@@ -41,23 +41,38 @@ def export_policy(trainer, policy: str, out_dir: str) -> str:
     )
     model_cfg = trainer.config["policy"][policy]["model"]
     heads, act_dtype, is_det = trainer._action_heads(policy)
-    assert not is_det, (
-        "export_policy currently supports categorical policies "
-        "(TrainerA2C); DDPG actors can be exported via their checkpoints"
-    )
     from warpdrive_tpu.utils.spaces import get_flattened_obs_size
 
-    manifest = {
-        "policy": policy,
-        "model_type": model_cfg["type"],
-        "fc_dims": list(model_cfg["fc_dims"]),
-        "output_dims": [int(h) for h in heads],
-        "dtype": model_cfg.get("dtype") or "float32",
-        "obs_size": int(get_flattened_obs_size(trainer.obs_space[policy])),
-    }
+    obs_size = int(get_flattened_obs_size(trainer.obs_space[policy]))
+    if is_det:
+        # DDPG actor: deterministic bounded tanh head.  The bundle holds
+        # the ACTOR net only (serving needs no critic) and the scale/bias
+        # the trainer built it with.
+        actor = trainer.actor_models[policy]
+        manifest = {
+            "kind": "ddpg_actor",
+            "policy": policy,
+            "model_type": model_cfg["actor"]["type"],
+            "fc_dims": list(model_cfg["actor"]["fc_dims"]),
+            "num_action_types": int(actor.num_action_types),
+            "action_scale": float(actor.action_scale),
+            "action_bias": float(actor.action_bias),
+            "obs_size": obs_size,
+        }
+        params = jax.device_get(trainer._current_params(policy)["actor"])
+    else:
+        manifest = {
+            "kind": "categorical",
+            "policy": policy,
+            "model_type": model_cfg["type"],
+            "fc_dims": list(model_cfg["fc_dims"]),
+            "output_dims": [int(h) for h in heads],
+            "dtype": model_cfg.get("dtype") or "float32",
+            "obs_size": obs_size,
+        }
+        params = jax.device_get(trainer._current_params(policy))
     with open(os.path.join(out_dir, MANIFEST), "w", encoding="utf-8") as f:
         json.dump(manifest, f, indent=2)
-    params = jax.device_get(trainer._current_params(policy))
     with open(os.path.join(out_dir, PARAMS), "wb") as f:
         f.write(serialization.to_bytes(params))
     return out_dir
@@ -74,6 +89,8 @@ def load_policy(bundle_dir: str):
     """
     with open(os.path.join(bundle_dir, MANIFEST), encoding="utf-8") as f:
         manifest = json.load(f)
+    if manifest.get("kind", "categorical") == "ddpg_actor":
+        return _load_ddpg_actor(bundle_dir, manifest)
     model_cls = ModelFactory.create(manifest["model_type"])
     kwargs = {}
     if manifest.get("dtype") and manifest["dtype"] != "float32":
@@ -124,5 +141,41 @@ def load_policy(bundle_dir: str):
             return np.asarray(_argmax_act(obs, action_mask))
         assert key is not None, "stochastic acting needs a PRNG key"
         return np.asarray(_sample_act(obs, key, action_mask))
+
+    return act, manifest
+
+
+def _load_ddpg_actor(bundle_dir: str, manifest: dict):
+    """Rebuild a jitted DDPG actor ``act(obs)`` from its bundle.
+
+    The deterministic bounded ``tanh * scale + bias`` head IS the serving
+    policy (exploration noise is a training-time concern); ``key``/
+    ``argmax`` are accepted for signature parity and ignored.
+    """
+    model_cls = ModelFactory.create(manifest["model_type"])
+    model = model_cls(
+        fc_dims=tuple(manifest["fc_dims"]),
+        num_action_types=int(manifest["num_action_types"]),
+        action_scale=float(manifest["action_scale"]),
+        action_bias=float(manifest["action_bias"]),
+    )
+    template = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 1, manifest["obs_size"]), jnp.float32),
+    )
+    with open(os.path.join(bundle_dir, PARAMS), "rb") as f:
+        params = serialization.from_bytes(jax.device_get(template), f.read())
+
+    @jax.jit
+    def _det_act(obs):
+        return model.apply(params, obs)
+
+    def act(obs, key=None, argmax: bool = True, action_mask=None):
+        obs = jnp.asarray(obs, jnp.float32)
+        assert obs.shape[-1] == manifest["obs_size"], (
+            f"expected trailing obs dim {manifest['obs_size']}, "
+            f"got {obs.shape}"
+        )
+        return np.asarray(_det_act(obs))
 
     return act, manifest

@@ -88,8 +88,15 @@ except Exception as e:  # noqa: BLE001 — any failure means "does not fit"
 """
 
 
-def _probe(run_config: dict, env_setup, timeout_s: int = None) -> bool:
-    """Run one trial configuration in a fresh subprocess; True if it fits.
+def _probe(
+    run_config: dict, env_setup, timeout_s: int = None
+) -> "tuple[bool, float | None]":
+    """Run one trial config in a fresh subprocess.
+
+    Returns ``(fits, steps_per_sec)``: ``fits`` is whether the config
+    compiled and ran; ``steps_per_sec`` is its measured post-compile rate
+    (``None`` when unavailable).  Do NOT truth-test the tuple — ``(False,
+    None)`` is truthy; unpack it.
 
     On the TPU backend the timeout is generous (first compiles are slow,
     and SIGKILLing a chip client mid-compile can wedge the single-tenant

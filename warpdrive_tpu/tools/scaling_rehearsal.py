@@ -1,0 +1,252 @@
+"""
+Scaling-efficiency rehearsal (VERDICT r3 missing #3).
+
+Real multi-chip hardware is unavailable in this environment, so the
+*measurable* proxy for the reference's "almost linear" multi-GPU scaling
+claim (``tutorials/tutorial-6:27``) is process/coordination overhead at
+constant device count: the SAME training program, the SAME 8 XLA devices,
+run as
+
+* 1 process x 8 virtual CPU devices (the in-process SPMD baseline), and
+* 2 processes x 4 virtual CPU devices each (``jax.distributed`` rendezvous,
+  a process-spanning mesh, cross-process gradient psums)
+
+and the efficiency ratio ``steps_per_sec(2proc) / steps_per_sec(1proc)``.
+Everything the multi-process path adds — rendezvous, cross-host collective
+scheduling, per-process dispatch — shows up as ratio < 1.  On real
+multi-host TPU the same program rides ICI instead of the gloo-style CPU
+transport, so this is a *pessimistic* rehearsal of the coordination cost.
+
+Run: ``python -m warpdrive_tpu.tools.scaling_rehearsal <outdir>``
+(CPU-only; spawns its own subprocesses with scrubbed TPU hooks).
+Writes ``<outdir>/scaling_rehearsal.json``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+
+# two scales: a tiny iteration (coordination-latency-bound — the floor)
+# and a bigger one (compute amortizes the cross-process overhead — the
+# regime the reference's linear-scaling claim lives in)
+SCALES = {"small": 32, "large": 512, "xlarge": 2048}
+T_STEPS = 20
+TIMED_ITERS = 8
+NUM_ENVS = 32  # overridden per run via WD_REHEARSAL_ENVS
+
+
+def _num_envs() -> int:
+    return int(os.environ.get("WD_REHEARSAL_ENVS", NUM_ENVS))
+
+
+def _build_trainer(outdir: str):
+    import jax.numpy as jnp  # noqa: F401
+
+    from warpdrive_tpu.envs import register_all_envs
+    from warpdrive_tpu.envs.engine import EnvEngine
+    from warpdrive_tpu.envs.tag_gridworld import TpuTagGridWorld
+    from warpdrive_tpu.parallel.mesh import apply_env_sharding
+    from warpdrive_tpu.training.trainer_a2c import TrainerA2C
+
+    register_all_envs()
+    n_envs = _num_envs()
+    env = TpuTagGridWorld(
+        num_taggers=4, grid_length=10, episode_length=T_STEPS, seed=7,
+        use_full_observation=False,
+    )
+    engine = EnvEngine(env_obj=env, num_envs=n_envs, seed=7)
+    engine = apply_env_sharding(engine)  # spans all global devices
+    cfg = {
+        "name": "scaling_rehearsal",
+        "env": {},
+        "trainer": {
+            "num_envs": n_envs,
+            "num_episodes": 4 * n_envs,
+            "train_batch_size": n_envs * T_STEPS,
+            "seed": 1,
+        },
+        "policy": {
+            "shared": {
+                "to_train": True,
+                "algorithm": "A2C",
+                "gamma": 0.98,
+                "lr": 1e-3,
+                "model": {"type": "fully_connected", "fc_dims": [32, 32]},
+            }
+        },
+        "saving": {
+            "metrics_log_freq": 10**9,
+            "model_params_save_freq": 10**9,
+            "basedir": outdir,
+            "name": "sr",
+            "tag": "t",
+        },
+    }
+    return TrainerA2C(env_wrapper=engine, config=cfg, verbose=False)
+
+
+def _timed_steps_per_sec(trainer) -> float:
+    """Post-compile wall time of TIMED_ITERS chained hot iterations.
+
+    Chaining the carry keeps every execution's inputs unique (execution-
+    memoization hazard, CLAUDE.md rule 5) and is exactly what train() does.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    carry = trainer._carry
+    carry, _ = trainer._iteration_fn_fast(
+        carry, jnp.asarray(0.0, jnp.float32)
+    )  # compile + warm
+    jax.block_until_ready(jax.tree_util.tree_leaves(carry)[0])
+    t0 = time.time()
+    for i in range(TIMED_ITERS):
+        carry, _ = trainer._iteration_fn_fast(
+            carry, jnp.asarray(float(i + 1), jnp.float32)
+        )
+    jax.block_until_ready(jax.tree_util.tree_leaves(carry)[0])
+    dt = time.time() - t0
+    return TIMED_ITERS * _num_envs() * T_STEPS / dt
+
+
+def _run_single(outdir: str) -> None:
+    """1 process x 8 devices: executed in a subprocess (mode=single)."""
+    trainer = _build_trainer(outdir)
+    rate = _timed_steps_per_sec(trainer)
+    with open(os.path.join(outdir, "single.json"), "w") as f:
+        json.dump({"steps_per_sec": rate}, f)
+    print(f"[single] {rate:,.0f} steps/s", flush=True)
+
+
+def _run_worker(coordinator: str, num_processes: int, process_id: int,
+                outdir: str) -> None:
+    """One of 2 distributed processes x 4 devices (mode=worker)."""
+    import jax
+
+    from warpdrive_tpu.parallel.mesh import initialize_multihost
+
+    initialize_multihost(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    assert jax.device_count() == 4 * num_processes
+    trainer = _build_trainer(outdir)
+    rate = _timed_steps_per_sec(trainer)
+    if jax.process_index() == 0:
+        with open(os.path.join(outdir, "multi.json"), "w") as f:
+            json.dump({"steps_per_sec": rate}, f)
+    print(f"[worker {process_id}] {rate:,.0f} steps/s", flush=True)
+    jax.distributed.shutdown()
+
+
+def _cpu_env(n_devices: int) -> dict:
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={n_devices}"
+    )
+    # scrub the TPU-plugin sitecustomize: it blocks on the device claim at
+    # interpreter start (docs/performance.md)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon" not in p
+    )
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    return env
+
+
+def _measure_scale(outdir: str, n_envs: int, timeout_s: int) -> dict:
+    me = os.path.abspath(__file__)
+
+    def env_for(n_devices):
+        env = _cpu_env(n_devices)
+        env["WD_REHEARSAL_ENVS"] = str(n_envs)
+        return env
+
+    single = subprocess.run(
+        [sys.executable, me, "single", outdir],
+        env=env_for(8), timeout=timeout_s, capture_output=True, text=True,
+    )
+    assert single.returncode == 0, (
+        f"single-process run failed:\n{single.stdout}\n{single.stderr}"
+    )
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    coordinator = f"127.0.0.1:{port}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, me, "worker", coordinator, "2", str(pid), outdir],
+            env=env_for(4), stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    for p in procs:
+        out, _ = p.communicate(timeout=timeout_s)
+        assert p.returncode == 0, f"worker failed:\n{out}"
+
+    with open(os.path.join(outdir, "single.json")) as f:
+        single_rate = json.load(f)["steps_per_sec"]
+    with open(os.path.join(outdir, "multi.json")) as f:
+        multi_rate = json.load(f)["steps_per_sec"]
+    return {
+        "num_envs": n_envs,
+        "steps_per_iter": n_envs * T_STEPS,
+        "single_process_8dev_steps_per_sec": round(single_rate),
+        "two_process_4dev_steps_per_sec": round(multi_rate),
+        "process_scaling_efficiency": round(multi_rate / single_rate, 4),
+    }
+
+
+def orchestrate(outdir: str, timeout_s: int = 900) -> dict:
+    """Run both configurations at each scale; write the ratios."""
+    os.makedirs(outdir, exist_ok=True)
+    result = {
+        "config": {
+            "env": "TagGridWorld(4 taggers, 10x10)",
+            "timed_iters": TIMED_ITERS,
+            "devices_total": 8,
+        },
+        "scales": {
+            label: _measure_scale(outdir, n_envs, timeout_s)
+            for label, n_envs in SCALES.items()
+        },
+        "note": (
+            "same SPMD program, same 8 XLA CPU devices; the ratio isolates "
+            "jax.distributed process/coordination overhead (pessimistic "
+            "proxy: real multi-host TPU collectives ride ICI, not the CPU "
+            "transport). The small scale is the per-iteration coordination "
+            "floor; the large scale is the batch-bound regime the "
+            "reference's linear-scaling claim (tutorial-6 'almost linear', "
+            "BASELINE >=80% at >=2 hosts) lives in."
+        ),
+    }
+    with open(os.path.join(outdir, "scaling_rehearsal.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result), flush=True)
+    return result
+
+
+def main() -> None:
+    mode = sys.argv[1] if len(sys.argv) > 1 else "orchestrate"
+    if mode == "single":
+        _run_single(sys.argv[2])
+    elif mode == "worker":
+        _run_worker(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]),
+                    sys.argv[5])
+    else:
+        orchestrate(sys.argv[1] if len(sys.argv) > 1 else
+                    "artifacts/round4")
+
+
+if __name__ == "__main__":
+    main()

@@ -383,6 +383,19 @@ class TrainerA2C(TrainerBase):
 
         return run
 
+    def _build_update_profile_fn(self):
+        """(carry, batch, timestep, key) -> new carry; update phase only
+        (direct timing for ``TrainerBase.profile_phases``)."""
+        update = self._make_update(with_metrics=False)
+
+        def run(carry, batch, timestep, k_down):
+            new_params, new_opt, _ = update(
+                carry["params"], carry["opt"], batch, timestep, k_down
+            )
+            return {**carry, "params": new_params, "opt": new_opt}
+
+        return run
+
     def _make_update(self, with_metrics=True):
         """The per-policy loss/optimizer update as a standalone jittable,
         shared by the fused iteration program and the eager CPU-backend

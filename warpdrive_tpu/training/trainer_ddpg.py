@@ -423,6 +423,22 @@ class TrainerDDPG(TrainerBase):
 
         return run
 
+    def _build_update_profile_fn(self):
+        """(carry, rows, timestep, key) -> new carry; replay append + DDPG
+        update only (direct timing for ``TrainerBase.profile_phases``)."""
+        replay_update = self._make_replay_update(with_metrics=False)
+        net_keys = (
+            "actor", "critic", "target_actor", "target_critic",
+            "opt_actor", "opt_critic", "buf", "done_buf", "filled",
+        )
+
+        def run(carry, rows, timestep, key):
+            nets = {k: carry[k] for k in net_keys}
+            new_nets, _ = replay_update(nets, rows, timestep)
+            return {**carry, **new_nets}
+
+        return run
+
     # _flat_apply (mesh-aware leading-dim collapse) lives in TrainerBase.
 
     def _make_replay_update(self, with_metrics=True):
