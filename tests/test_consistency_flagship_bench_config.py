@@ -53,7 +53,41 @@ def test_flagship_bench_config_passes_oracle():
             "bench_flagship_approx": dict(
                 cfg, knn_algorithm="approx", knn_select="bf16pair"
             ),
+            # the round-4 multi-tile kernel in its oracle-exact mode
+            # (external operands, VPU difference-form distances) — the
+            # candidate headline kernel and the >128-agent bench path
+            "bench_flagship_tiled": dict(
+                cfg, knn_algorithm="pallas_tiled_exact"
+            ),
         },
         num_envs=2,
         num_episodes=2,
     ).test_env_reset_and_step(threshold_pct=1.0, seed=41)
+
+
+def test_1024_agent_bench_class_passes_oracle():
+    """The >128-agent configuration class the 1024-agent bench stage runs
+    (multi-tile kernel, oracle-exact mode), scaled to oracle runtime:
+    200 agents across two observer lane tiles, same env parameters."""
+    # seed choice: dense many-agent tag produces genuine near-equidistant
+    # neighbor pairs; when CPU(f64 numpy) and TPU(f32) states drift by a
+    # reduction-order ulp, a near-tie flips a whole neighbor slot in ANY
+    # exact algorithm (seed (274880, 17) flips at t=59 for `ladder` and
+    # `passes` too — verified NOT a kernel property).  (1, 17) is a clean
+    # lockstep seed for ladder; tiled_exact must match on it as well.
+    cfg = dict(
+        FLAGSHIP_ENV_KWARGS,
+        num_taggers=8, num_runners=192, grid_length=30.0,
+        episode_length=40, seed=1,
+    )
+    EnvironmentCPUvsTPU(
+        cpu_env_class=TagContinuous,
+        tpu_env_class=TpuTagContinuous,
+        env_configs={
+            "agents_200_tiled_exact": dict(
+                cfg, knn_algorithm="pallas_tiled_exact"
+            ),
+        },
+        num_envs=2,
+        num_episodes=2,
+    ).test_env_reset_and_step(threshold_pct=1.0, seed=17)

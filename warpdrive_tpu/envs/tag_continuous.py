@@ -133,10 +133,22 @@ class TagContinuous:
         #             "pallas_twolevel[_exact]" replaces the one-hot-matrix
         #             MXU selection with a two-level (group, member)
         #             select — O(N*k) instead of O(N^2*k) selection work.
+        #             "pallas_tiled[_exact]" (round 4, knn_obs.py v7) is
+        #             the mxu kernel generalized to ANY agent count (the
+        #             observer axis becomes a grid of 128-lane tiles —
+        #             replaces-by-redesign the reference's multi-block
+        #             env_thread_sync.cu machinery) with candidate-side
+        #             operands precomputed outside the kernel.
+        #             "pallas_mxudist[_exact]" additionally builds the
+        #             distance matrix ON THE MXU from centered bf16 hi/lo
+        #             expansions (near-exact selection class — rare
+        #             near-tie swaps, NOT oracle-bit-exact).
         assert knn_algorithm in (
             "passes", "topk", "ladder", "packed", "approx",
             "pallas", "pallas_mxu", "pallas_mxu_exact", "pallas_onehot",
             "pallas_twolevel", "pallas_twolevel_exact",
+            "pallas_tiled", "pallas_tiled_exact",
+            "pallas_mxudist", "pallas_mxudist_exact",
         )
         # knn_select picks how neighbor features are pulled once the slot
         # indices are known (topk/ladder/packed only): "fused" one-hot
@@ -162,13 +174,25 @@ class TagContinuous:
         self.num_runners_initial = int(num_runners)
         self.num_agents = self.num_taggers + self.num_runners_initial
         if knn_algorithm.startswith("pallas") and self.num_agents > 128:
-            raise ValueError(
-                f"knn_algorithm={knn_algorithm!r} (the fused Mosaic kernel) "
-                f"supports at most 128 agents (one TPU lane tile); this env "
-                f"has {self.num_agents}. Use an XLA algorithm instead — "
-                "'approx' (lax.approx_min_k, exact and single-pass, the "
-                "1024-agent bench choice) or 'ladder'/'packed'."
-            )
+            if knn_algorithm in ("pallas_mxu", "pallas_mxu_exact"):
+                # same selection semantics, multi-tile implementation —
+                # the mxu kernel generalized past one lane tile
+                knn_algorithm = {
+                    "pallas_mxu": "pallas_tiled",
+                    "pallas_mxu_exact": "pallas_tiled_exact",
+                }[knn_algorithm]
+                self.knn_algorithm = knn_algorithm
+            elif not knn_algorithm.startswith(
+                ("pallas_tiled", "pallas_mxudist")
+            ):
+                raise ValueError(
+                    f"knn_algorithm={knn_algorithm!r} (a single-tile Mosaic "
+                    f"kernel) supports at most 128 agents (one TPU lane "
+                    f"tile); this env has {self.num_agents}. Use "
+                    "'pallas_tiled[_exact]'/'pallas_mxudist[_exact]' (the "
+                    "multi-tile kernel) or an XLA algorithm "
+                    "('ladder'/'packed'/'approx')."
+                )
         self.episode_length = int(episode_length)
         self.grid_length = np.float32(grid_length)
         self.grid_diagonal = np.float32(self.grid_length * np.sqrt(2))
@@ -625,6 +649,10 @@ class TpuTagContinuous(TagContinuous, TpuEnvironmentContext):
             "pallas_twolevel": "twolevel",
             "pallas_twolevel_exact": "twolevel_exact",
             "pallas_onehot": "onehot",
+            "pallas_tiled": "tiled",
+            "pallas_tiled_exact": "tiled_exact",
+            "pallas_mxudist": "tiled_mxudist",
+            "pallas_mxudist_exact": "tiled_mxudist_exact",
         }[self.knn_algorithm]
         return knn_observation(
             loc_x,

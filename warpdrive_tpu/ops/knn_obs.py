@@ -518,6 +518,196 @@ def _knn_obs_kernel_v6(xy_ref, src_ref, perm_ref, out_ref, *, n_agents: int,
         out_ref[:, 8 * k + 1 :, :] = jnp.zeros((B, pad_rows, LANE), jnp.float32)
 
 
+def _knn_obs_kernel_v7(cand_ref, pairs_ref, xy_ref, src_ref, out_ref,
+                       acc_ref, *, n_agents: int, k: int, exact: bool):
+    """VPU-distance (oracle-bit-exact-capable) positional adapter."""
+    _v7_body(cand_ref, pairs_ref, None, xy_ref, src_ref, out_ref, acc_ref,
+             n_agents=n_agents, k=k, exact=exact, dist_mxu=False)
+
+
+def _knn_obs_kernel_v7_mxu(cand_ref, pairs_ref, amat_ref, xy_ref, src_ref,
+                           out_ref, acc_ref, *, n_agents: int, k: int,
+                           exact: bool):
+    """MXU-distance positional adapter (extra ``amat_ref`` operand)."""
+    _v7_body(cand_ref, pairs_ref, amat_ref, xy_ref, src_ref, out_ref,
+             acc_ref, n_agents=n_agents, k=k, exact=exact, dist_mxu=True)
+
+
+def _v7_body(cand_ref, pairs_ref, amat_ref, xy_ref, src_ref, out_ref,
+             acc_ref, *, n_agents: int, k: int, exact: bool,
+             dist_mxu: bool):
+    """Multi-tile MXU-select variant (round 4): generalizes v3 to ANY
+    agent count and removes its in-kernel relayout/precompute work.
+
+    Differences from v3 (``_knn_obs_kernel_v3``):
+
+    * the grid gains an AGENT-TILE axis: instance ``(e, t)`` computes obs
+      rows for the 128 agents of lane-tile ``t`` against ALL ``SUBn =
+      ceil(N/8)*8`` candidates on sublanes — this lifts v3's one-lane-tile
+      ``N <= 128`` cap (the reference covers >128 agents with its
+      multi-block grid + ``env_thread_sync.cu:31-62`` barriers; here more
+      grid steps over the same VMEM-resident ladder);
+    * the candidate-side operands are PRECOMPUTED in XLA and passed in —
+      no in-kernel lane->sublane relayout (measured inside the r3_ab5
+      "distance build" cost) and no in-kernel hi/lo split;
+    * optional ``dist_mxu``: the squared-distance matrix is built on the
+      MXU as ``|p_j|^2 + |p_i|^2 - 2 p_j.p_i`` via ONE bf16 hi/lo
+      ``dot_general`` over a 12-term expansion (VERDICT r4 route (b)) —
+      the r3_ab5-measured ~0.23 ms VPU elementwise build becomes ~2 us of
+      MXU time.  Positions are CENTERED per env outside (bounds the
+      cancellation error to ~2^-22 relative of the stage size); the
+      result is clamped at 0 so the int32 bitcast stays order-isomorphic.
+      Selection on MXU-built distances is NEAR-exact (error class ~ the
+      packed trick's 2^-16 tie window) — `exact` tie-breaking then makes
+      it deterministic (lowest index) but not oracle-bit-exact, so the
+      oracle-exact configurations use ``dist_mxu=False`` (the VPU
+      difference-form build, bit-identical to the numpy reference).
+
+    Refs:
+      cand_ref:  (B, SUBn, 8) f32 — per-candidate sublane rows
+                 [x_raw, y_raw, still, 0...]
+      pairs_ref: (B, 12, SUBn) bf16 — hi/lo feature pairs (6 channels x
+                 2), candidate on LANES — the selection-matmul operand
+      amat_ref:  (B, SUBn, 12) bf16 (dist_mxu only) — the candidate-side
+                 distance-expansion operand [xh,xh,xl,xl, yh,yh,yl,yl,
+                 nh,nl, 1,1] on CENTERED coordinates, pre-transposed
+                 outside so no in-kernel relayout is needed
+      xy_ref:    (B, 4, LANE) f32 — this i-tile's [x_raw, y_raw,
+                 x_centered, y_centered]
+      src_ref:   (B, 8, LANE) f32 — this i-tile's channels
+      out_ref:   (B, OBS_ROWS_PAD, LANE) f32 — this i-tile's obs rows
+      acc_ref:   (B, SUBn, k*LANE) bf16 scratch — slot one-hots
+    """
+    B = xy_ref.shape[0]
+    SUBn = cand_ref.shape[1]
+    tile = pl.program_id(1)
+    row_j = jax.lax.broadcasted_iota(jnp.int32, (B, SUBn, LANE), 1)
+    # GLOBAL observer index for self-exclusion: lane + tile offset
+    col_i = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, SUBn, LANE), 2)
+        + tile * LANE
+    )
+
+    x = xy_ref[:, 0, :]  # (B, LANE) raw
+    y = xy_ref[:, 1, :]
+    src = src_ref[:]  # (B, 8, LANE)
+
+    def chan(c):  # (B, 1, LANE) — agent on lanes
+        return src[:, c : c + 1, :]
+
+    def chan_flat(c):  # (B, LANE)
+        return jax.lax.squeeze(src[:, c : c + 1, :], [1])
+
+    alive_row = (chan_flat(6) >= 0.5).astype(jnp.float32)  # lane = i
+
+    still_sub = cand_ref[:, :, 2:3]  # (B, SUBn, 1)
+    invalid = (row_j >= n_agents) | (row_j == col_i) | (still_sub < 0.5)
+
+    if dist_mxu:
+        # i-side 12-row operand from the centered positions (cheap (B,
+        # LANE)-vector work); the candidate-side 12 columns ride in
+        # pairs_ref rows 12:24, precomputed outside.
+        xc = xy_ref[:, 2, :]
+        yc = xy_ref[:, 3, :]
+        xh = xc.astype(jnp.bfloat16)
+        xl = (xc - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+        yh = yc.astype(jnp.bfloat16)
+        yl = (yc - yh.astype(jnp.float32)).astype(jnp.bfloat16)
+        n_i = xc * xc + yc * yc
+        nh = n_i.astype(jnp.bfloat16)
+        nl = (n_i - nh.astype(jnp.float32)).astype(jnp.bfloat16)
+        two = jnp.bfloat16(-2.0)
+        ones = jnp.ones_like(nh)
+        bm = jnp.concatenate(
+            [
+                (two * xh)[:, None, :], (two * xl)[:, None, :],
+                (two * xh)[:, None, :], (two * xl)[:, None, :],
+                (two * yh)[:, None, :], (two * yl)[:, None, :],
+                (two * yh)[:, None, :], (two * yl)[:, None, :],
+                ones[:, None, :], ones[:, None, :],
+                nh[:, None, :], nl[:, None, :],
+            ],
+            axis=1,
+        )  # (B, 12, LANE) bf16
+        d2 = jax.lax.dot_general(
+            amat_ref[:], bm,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (B, SUBn, LANE)
+        d2 = jnp.maximum(d2, 0.0)  # keep the int32 bitcast order-isomorphic
+    else:
+        # exact difference-form build — bit-identical to the numpy
+        # reference's dx*dx + dy*dy on raw f32 coordinates
+        x_sub = cand_ref[:, :, 0:1]  # (B, SUBn, 1)
+        y_sub = cand_ref[:, :, 1:2]
+        dx = x_sub - x[:, None, :]
+        dy = y_sub - y[:, None, :]
+        d2 = dx * dx + dy * dy
+
+    d2 = jnp.where(invalid, _BIG, d2)
+    if exact:
+        d2i = pltpu.bitcast(d2, jnp.int32)
+        big_packed = np.int32(np.float32(_BIG).view(np.int32))
+    else:
+        # pack candidate SUBLANE index into the low bits; tiled kernels
+        # need ceil(log2(SUBn)) bits (7 at N<=128, 10 at N=1024)
+        idx_bits = max((SUBn - 1).bit_length(), 1)
+        clear = np.int32(~((1 << idx_bits) - 1))
+        d2i = jnp.bitwise_or(
+            jnp.bitwise_and(pltpu.bitcast(d2, jnp.int32), clear), row_j
+        )
+        big_packed = np.int32(np.float32(_BIG).view(np.int32) & clear)
+
+    def slot_body(slot, carry):
+        d2i, valid_acc = carry
+        m2 = jnp.min(d2i, axis=1, keepdims=True)  # (B, 1, LANE_i)
+        valid = (m2 < _VALID_MAX).astype(jnp.float32)
+        if exact:
+            eqv = d2i == m2
+            mi = jnp.min(
+                jnp.where(eqv, row_j, SUBn), axis=1, keepdims=True
+            )
+            eq = eqv & (row_j == mi)  # lowest-index tie-break
+        else:
+            eq = d2i == m2  # packed entries unique => one-hot
+        acc_ref[:, :, pl.ds(pl.multiple_of(slot * LANE, LANE), LANE)] = (
+            eq.astype(jnp.bfloat16)
+        )
+        slot_onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (_VALID_ROWS, 1), 0) == slot
+        ).astype(jnp.float32)
+        valid_acc = valid_acc + slot_onehot[None, :, :] * valid
+        return jnp.where(eq, big_packed, d2i), valid_acc
+
+    valid_acc0 = jnp.zeros((B, _VALID_ROWS, LANE), jnp.float32)
+    _, valid_acc = jax.lax.fori_loop(0, k, slot_body, (d2i, valid_acc0))
+
+    sel = jax.lax.dot_general(
+        pairs_ref[:],
+        acc_ref[:],
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (B, 12, k*LANE) f32
+
+    for slot in range(k):
+        blk = sel[:, :, slot * LANE : (slot + 1) * LANE]  # (B, 12, LANE_i)
+        nbr = blk[:, :6, :] + blk[:, 6:12, :]  # exact f32 reconstruction
+        valid = valid_acc[:, slot : slot + 1, :]
+        gate = valid * alive_row[:, None, :]
+        rows8 = jnp.concatenate(
+            [(nbr[:, c : c + 1, :] - chan(c)) * gate for c in range(5)]
+            + [nbr[:, 5:6, :] * gate, gate, gate],
+            axis=1,
+        )
+        out_ref[:, slot * 8 : (slot + 1) * 8, :] = rows8
+
+    t_row = chan_flat(7) * alive_row
+    out_ref[:, 8 * k : 8 * k + 1, :] = t_row[:, None, :]
+    pad_rows = out_ref.shape[1] - (8 * k + 1)
+    if pad_rows:
+        out_ref[:, 8 * k + 1 :, :] = jnp.zeros((B, pad_rows, LANE), jnp.float32)
+
+
 # valid-gate accumulator sublane count (>= k, padded to the f32 tile)
 _VALID_ROWS = 16
 
@@ -554,7 +744,17 @@ def knn_observation(
     lanes) without the final XLA transpose — for consumers that can eat
     the transposed layout (or A/B-ing the transpose cost)."""
     E, N = loc_x.shape
-    assert N == n_agents and n_agents <= LANE
+    assert N == n_agents
+    if variant.startswith("tiled"):
+        return _knn_observation_tiled(
+            loc_x, loc_y, feats, types_f, still_f, t_norm,
+            n_agents=n_agents, k=k, block_envs=block_envs,
+            interpret=interpret, variant=variant, raw_out=raw_out,
+        )
+    assert n_agents <= LANE, (
+        f"single-tile kernels cap at {LANE} agents; use a tiled variant "
+        f"(got {n_agents})"
+    )
     obs_dim = 8 * k + 1
     obs_pad = ((obs_dim + LANE - 1) // LANE) * LANE
 
@@ -642,4 +842,163 @@ def knn_observation(
     if raw_out:
         return out[:E]
     # one plain XLA transpose back to the (envs, agents, features) contract
+    return jnp.swapaxes(out[:E, :obs_dim, :N], 1, 2)
+
+
+def _bf16_pair(x: jnp.ndarray):
+    """Split f32 into an (hi, lo) bf16 pair; hi + lo reconstructs to
+    ~2^-17 relative (x - bf16(x) is exact in f32)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _knn_observation_tiled(
+    loc_x, loc_y, feats, types_f, still_f, t_norm, *,
+    n_agents: int, k: int, block_envs: int, interpret: bool,
+    variant: str, raw_out: bool,
+) -> jnp.ndarray:
+    """Multi-tile kernel dispatch (``variant='tiled[_mxudist][_exact]'``):
+    any agent count (the observer axis becomes a grid dimension of
+    LANE-wide tiles), candidate-side operands precomputed here in XLA.
+
+    See ``_v7_body`` for the kernel; exactness classes:
+
+    * ``tiled_exact`` — oracle-bit-exact (VPU difference-form distances,
+      full-precision lowest-index tie-breaks);
+    * ``tiled`` — packed-index ties (relative 2^-(23 - ceil(log2 SUBn))
+      tie window);
+    * ``tiled_mxudist[_exact]`` — distances built on the MXU from
+      centered hi/lo bf16 expansions (route (b), VERDICT r4 next #1);
+      deterministic, near-exact selection class.
+    """
+    E, N = loc_x.shape
+    obs_dim = 8 * k + 1
+    obs_rows_pad = ((obs_dim + 7) // 8) * 8
+    NT = (N + LANE - 1) // LANE  # observer lane tiles
+    NP = NT * LANE
+    SUBn = ((N + 7) // 8) * 8  # candidate sublanes
+    assert k <= _VALID_ROWS
+    exact = variant.endswith("_exact")
+    dist_mxu = "_mxudist" in variant
+
+    f32 = jnp.float32
+    loc_x = loc_x.astype(f32)
+    loc_y = loc_y.astype(f32)
+    still = still_f.astype(f32)
+    # centered coordinates bound the |p|^2-scale cancellation of the
+    # MXU expansion build; harmless elsewhere (only raw coords feed the
+    # exact difference-form build and the obs features)
+    xc = loc_x - jnp.mean(loc_x, axis=1, keepdims=True)
+    yc = loc_y - jnp.mean(loc_y, axis=1, keepdims=True)
+
+    pad_i = NP - N
+
+    def pad_lane(a):  # pad the trailing (agent) axis to NP lanes
+        return jnp.pad(a, ((0, 0),) * (a.ndim - 1) + ((0, pad_i),))
+
+    xy4 = pad_lane(jnp.stack([loc_x, loc_y, xc, yc], axis=1))  # (E,4,NP)
+    src = pad_lane(
+        jnp.concatenate(
+            [
+                feats.astype(f32),
+                jnp.broadcast_to(types_f[None, None, :], (E, 1, N)),
+                still[:, None, :],
+                jnp.broadcast_to(
+                    t_norm.astype(f32)[:, None, None], (E, 1, N)
+                ),
+            ],
+            axis=1,
+        )
+    )  # (E, 8, NP)
+
+    pad_j = SUBn - N
+    cand = jnp.pad(
+        jnp.stack(
+            [loc_x, loc_y, still] + [jnp.zeros_like(loc_x)] * 5, axis=2
+        ),
+        ((0, 0), (0, pad_j), (0, 0)),
+    )  # (E, SUBn, 8) — candidate sublane rows
+
+    feats6 = jnp.concatenate(
+        [feats.astype(f32), jnp.broadcast_to(types_f[None, None, :], (E, 1, N))],
+        axis=1,
+    )  # (E, 6, N)
+    hi6, lo6 = _bf16_pair(feats6)
+    pairs = jnp.pad(
+        jnp.concatenate([hi6, lo6], axis=1),
+        ((0, 0), (0, 0), (0, pad_j)),
+    )  # (E, 12, SUBn) bf16
+
+    extra_inputs = []
+    extra_specs = []
+    if dist_mxu:
+        xh, xl = _bf16_pair(xc)
+        yh, yl = _bf16_pair(yc)
+        nrm = xc * xc + yc * yc
+        nh, nl = _bf16_pair(nrm)
+        ones = jnp.ones_like(nh)
+        amat = jnp.pad(
+            jnp.stack(
+                [xh, xh, xl, xl, yh, yh, yl, yl, nh, nl, ones, ones],
+                axis=2,
+            ),
+            ((0, 0), (0, pad_j), (0, 0)),
+        )  # (E, SUBn, 12) bf16
+        kernel_fn = _knn_obs_kernel_v7_mxu
+    else:
+        kernel_fn = _knn_obs_kernel_v7
+
+    # VMEM-driven env-block clamp: the bf16 one-hot scratch is the
+    # dominant resident (B * SUBn * k * LANE * 2B); keep it + the d2
+    # working set well under the ~16 MB core VMEM
+    B = block_envs
+    while B > 1 and B * SUBn * (k * LANE * 2 + LANE * 4 * 3) > 6_000_000:
+        B //= 2
+    pad_e = (-E) % B
+    if pad_e:
+        pad0 = lambda a: jnp.pad(  # noqa: E731
+            a, ((0, pad_e),) + ((0, 0),) * (a.ndim - 1)
+        )
+        xy4, src, cand, pairs = map(pad0, (xy4, src, cand, pairs))
+        if dist_mxu:
+            amat = pad0(amat)
+    Ep = E + pad_e
+    if dist_mxu:
+        extra_inputs = [amat]
+        extra_specs = [
+            pl.BlockSpec((B, SUBn, 12), lambda e, t: (e, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ]
+
+    kernel = functools.partial(
+        kernel_fn, n_agents=n_agents, k=k, exact=exact
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(Ep // B, NT),
+        in_specs=[
+            pl.BlockSpec((B, SUBn, 8), lambda e, t: (e, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 12, SUBn), lambda e, t: (e, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        + extra_specs
+        + [
+            pl.BlockSpec((B, 4, LANE), lambda e, t: (e, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 8, LANE), lambda e, t: (e, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (B, obs_rows_pad, LANE), lambda e, t: (e, 0, t),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((Ep, obs_rows_pad, NP), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((B, SUBn, k * LANE), jnp.bfloat16)],
+        interpret=interpret,
+    )(cand, pairs, *extra_inputs, xy4, src)
+
+    if raw_out:
+        return out[:E]
     return jnp.swapaxes(out[:E, :obs_dim, :N], 1, 2)
