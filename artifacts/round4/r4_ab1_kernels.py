@@ -20,10 +20,11 @@ E = 1000
 def measure(algo, block_envs=2, num_envs=E):
     sys_ = build_flagship(num_envs=num_envs, fc_dims=(256, 256), seed=0,
                           knn_algorithm=algo)
-    sys_["env"].knn_block_envs = block_envs  # set pre-build? see note
+    sys_["env"].knn_block_envs = block_envs  # read at trace time (first call)
     key = jax.random.PRNGKey(42)
     t0 = time.time()
-    rate = rollout_rate(sys_["env_only_step"], sys_["state"], N_STEPS,
+    rate = rollout_rate(sys_["env_only_step"],
+                        (sys_["state"], jnp.zeros(())), N_STEPS,
                         num_envs, key)
     rec = {"algo": algo, "block_envs": block_envs, "num_envs": num_envs,
            "env_steps_per_sec": round(rate), "wall_s": round(time.time()-t0, 1)}

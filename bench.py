@@ -25,6 +25,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 BASELINE_ENV_STEPS_PER_S = 1.0e7
 
@@ -46,10 +47,14 @@ def rollout_rate(step_fn, state, n_steps: int, num_envs: int, key,
         jitted = jax.jit(scan_fn)
         args = lambda st, k: (params, st, k)
 
-    # warmup / compile (the carry may be a pytree; keep it opaque)
+    # warmup / compile (the carry may be a pytree; keep it opaque).
+    # FETCH one element to host, not just block_until_ready: round-4
+    # probes showed the tunnel can report a buffer "ready" whose actual
+    # realization wedges (the envlanes kernel class) — a value fetch is
+    # the only execution proof.
     key, sub = jax.random.split(key)
     state = jitted(*args(state, sub))
-    jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
+    np.asarray(jax.tree_util.tree_leaves(state)[0]).ravel()[:1]
 
     best = 0.0
     for _ in range(repeats):

@@ -50,7 +50,8 @@ def _build_state(env, num_envs, seed):
 @pytest.mark.parametrize(
     "variant",
     ["packed", "onehot", "mxu", "mxu_exact", "twolevel", "twolevel_exact",
-     "tiled", "tiled_exact", "tiled_mxudist", "tiled_mxudist_exact"],
+     "tiled", "tiled_exact", "tiled_mxudist", "tiled_mxudist_exact",
+     "envlanes", "envlanes_exact"],
 )
 @pytest.mark.parametrize("num_agents,k", [(15, 4), (105, 10)])
 def test_kernel_matches_pure_jax_observe(num_agents, k, variant):
@@ -402,3 +403,52 @@ def test_tiled_observe_batch_wiring_150_agents():
         np.asarray(eng_ref.observe(state)),
         atol=8e-6,
     )
+
+@pytest.mark.parametrize("variant", ["envlanes", "envlanes_exact"])
+@pytest.mark.parametrize("num_agents,k,num_envs", [(200, 6, 3), (15, 4, 130)])
+def test_envlanes_kernel_multi_tile(num_agents, k, num_envs, variant):
+    """The v8 envs-on-lanes kernel handles >128 agents (candidate
+    sublanes grow, observer groups become a grid axis) and >128 envs
+    (multiple env lane tiles); envlanes_exact must BIT-match the
+    pure-JAX exact observe (f32 select — no bf16 pair rounding)."""
+    env = TpuTagContinuous(
+        num_taggers=max(2, num_agents // 5),
+        num_runners=num_agents - max(2, num_agents // 5),
+        grid_length=25.0,
+        episode_length=100,
+        use_full_observation=False,
+        num_other_agents_observed=k,
+    )
+    state = _build_state(env, num_envs, seed=11)
+    ref = jax.vmap(env.observe_fn)(dict(state))
+    feats = jnp.stack(
+        [
+            state["loc_x"] / env.grid_diagonal,
+            state["loc_y"] / env.grid_diagonal,
+            state["speed"] / (env.max_speed + np.float32(1e-10)),
+            state["acceleration"] / (env.max_speed + np.float32(1e-10)),
+            state["direction"] / np.float32(2 * np.pi),
+        ],
+        axis=1,
+    )
+    out = knn_observation(
+        state["loc_x"],
+        state["loc_y"],
+        feats,
+        jnp.asarray(env.agent_types, dtype=jnp.float32),
+        state["still_in_the_game"].astype(jnp.float32),
+        (state[Constants.TIMESTEP] / env.episode_length).astype(jnp.float32),
+        n_agents=env.num_agents,
+        k=k,
+        interpret=True,
+        variant=variant,
+    )
+    assert out.shape == ref.shape
+    if variant == "envlanes":
+        # packed-index tie window (2^-(23 - ceil(log2 SUBn)) relative):
+        # rare near-tie slot swaps are the documented class
+        close = np.isclose(np.asarray(out), np.asarray(ref), atol=8e-6)
+        frac_bad = 1.0 - close.mean()
+        assert frac_bad < 2e-3, f"too many selection swaps: {frac_bad:.4%}"
+    else:
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

@@ -143,12 +143,21 @@ class TagContinuous:
         #             distance matrix ON THE MXU from centered bf16 hi/lo
         #             expansions (near-exact selection class — rare
         #             near-tie swaps, NOT oracle-bit-exact).
+        #             "pallas_envlanes[_exact]" (round 4, knn_obs.py v8)
+        #             transposes the whole problem: ENVS on lanes (128
+        #             per grid step), candidates on sublanes, observers
+        #             8-at-a-time on a second grid axis — no launch
+        #             floor, full lane utilization, VPU one-hot select
+        #             (no MXU selection is possible per-lane).  Any
+        #             agent count; the _exact variant is oracle-BIT-
+        #             exact (f32 select, no bf16 pair rounding).
         assert knn_algorithm in (
             "passes", "topk", "ladder", "packed", "approx",
             "pallas", "pallas_mxu", "pallas_mxu_exact", "pallas_onehot",
             "pallas_twolevel", "pallas_twolevel_exact",
             "pallas_tiled", "pallas_tiled_exact",
             "pallas_mxudist", "pallas_mxudist_exact",
+            "pallas_envlanes", "pallas_envlanes_exact",
         )
         # knn_select picks how neighbor features are pulled once the slot
         # indices are known (topk/ladder/packed only): "fused" one-hot
@@ -183,7 +192,7 @@ class TagContinuous:
                 }[knn_algorithm]
                 self.knn_algorithm = knn_algorithm
             elif not knn_algorithm.startswith(
-                ("pallas_tiled", "pallas_mxudist")
+                ("pallas_tiled", "pallas_mxudist", "pallas_envlanes")
             ):
                 raise ValueError(
                     f"knn_algorithm={knn_algorithm!r} (a single-tile Mosaic "
@@ -653,6 +662,8 @@ class TpuTagContinuous(TagContinuous, TpuEnvironmentContext):
             "pallas_tiled_exact": "tiled_exact",
             "pallas_mxudist": "tiled_mxudist",
             "pallas_mxudist_exact": "tiled_mxudist_exact",
+            "pallas_envlanes": "envlanes",
+            "pallas_envlanes_exact": "envlanes_exact",
         }[self.knn_algorithm]
         return knn_observation(
             loc_x,

@@ -751,6 +751,28 @@ def knn_observation(
             n_agents=n_agents, k=k, block_envs=block_envs,
             interpret=interpret, variant=variant, raw_out=raw_out,
         )
+    if variant.startswith("envlanes"):
+        if not interpret and jax.default_backend() not in ("cpu",):
+            # Measured round 4 (artifacts/round4/ROUND4_NOTES.md, probes
+            # v8a-v8n): the v8 kernel compiles and block_until_ready
+            # returns, but its OUTPUT BUFFER poisons the device — any
+            # on-device consumer (reduce, matmul, scan step) or host
+            # fetch of it wedges the chip forever (futex-wait client,
+            # ~0 CPU), with static stores and without the partial tail
+            # stores too.  The wedge class is the kernel's 3-D
+            # middle-axis (sublane) reductions with a leading observer
+            # dim — a Mosaic codegen gap on this toolchain, not a
+            # semantics bug (interpret mode is oracle-bit-exact).
+            raise NotImplementedError(
+                "envlanes kernels wedge the TPU at runtime on the "
+                "current Mosaic toolchain (see ROUND4_NOTES.md); they "
+                "are available in interpret mode only"
+            )
+        return _knn_observation_envlanes(
+            loc_x, loc_y, feats, types_f, still_f, t_norm,
+            n_agents=n_agents, k=k, interpret=interpret, variant=variant,
+            raw_out=raw_out,
+        )
     assert n_agents <= LANE, (
         f"single-tile kernels cap at {LANE} agents; use a tiled variant "
         f"(got {n_agents})"
@@ -1002,3 +1024,202 @@ def _knn_observation_tiled(
     if raw_out:
         return out[:E]
     return jnp.swapaxes(out[:E, :obs_dim, :N], 1, 2)
+
+
+def _knn_obs_kernel_v8(candxy_ref, candsrc_ref, ownxy_ref, ownsrc_ref,
+                       out_ref, *, n_agents: int, k: int, exact: bool):
+    """Envs-on-lanes variant (v8 — VERDICT r4 next #1 route (a)).
+
+    The measured ceiling of the agents-on-lanes kernels (v3/v4/v7,
+    docs/performance.md §5) is explicitly layout-conditional: a
+    ~0.23 ms/1000-env per-block launch floor (500 B=2 grid steps), plus
+    per-slot extraction work on matrices whose LANE axis is only
+    N=105/128 utilized.  This kernel transposes the whole problem:
+
+    * the LANE axis is the ENV axis (128 envs per grid step — the grid
+      shrinks from E/2 to E/128 steps, amortizing the launch floor 64x,
+      and every lane is a live env);
+    * the candidate axis j lives on SUBLANES (SUBn = ceil(N/8)*8), so
+      the per-slot min / tie-break / rewrite are all cheap sublane-tree
+      reductions, identical in kind to v3's;
+    * observers are processed 8 at a time as the block's LEADING axis,
+      with a second grid dimension over observer groups — the operands
+      for the candidate side are grid-invariant in g and stay resident.
+
+    The price: neighbor-feature selection cannot ride the MXU here (the
+    contraction would have to run per-lane = per-env), so it reverts to
+    SIX one-hot masked sublane reductions per slot (v2's mechanism, but
+    over (8, SUBn, 128) blocks with full lane utilization instead of
+    (B, 128, 128) with cross-LANE reductions).  Whether the removed
+    launch floor + full lanes + cheap reductions buy more than the lost
+    MXU selection is exactly what the r4_ab1c measurement answers.
+
+    Refs (one grid step = 128 envs x 8 observers):
+      candxy_ref:  (2, SUBn, 128) f32 — candidate [x, y], env on lanes
+      candsrc_ref: (8, SUBn, 128) f32 — candidate channels
+                   [5 feats, type, still, t_norm]
+      ownxy_ref:   (2, 8, 128) f32 — this observer group's [x, y]
+      ownsrc_ref:  (8, 8, 128) f32 — this observer group's channels
+      out_ref:     (8, OBS_ROWS_PAD, 128) f32 — obs rows for the 8
+                   observers (observer-leading, feature-sublane,
+                   env-lane)
+    """
+    g = pl.program_id(1)
+    SUBn = candxy_ref.shape[1]
+    row_j = jax.lax.broadcasted_iota(jnp.int32, (8, SUBn, LANE), 1)
+    # global observer index of leading-axis slot m is g*8 + m
+    i_idx = jax.lax.broadcasted_iota(jnp.int32, (8, SUBn, LANE), 0) + g * 8
+
+    def cand_chan(c):  # (SUBn, LANE) — env on lanes
+        return jax.lax.squeeze(candsrc_ref[c : c + 1, :, :], [0])
+
+    def own_chan(c):  # (8, 1, LANE)
+        return jnp.swapaxes(ownsrc_ref[c : c + 1, :, :], 0, 1)
+
+    x_c = jax.lax.squeeze(candxy_ref[0:1, :, :], [0])  # (SUBn, LANE)
+    y_c = jax.lax.squeeze(candxy_ref[1:2, :, :], [0])
+    x_o = jnp.swapaxes(ownxy_ref[0:1, :, :], 0, 1)  # (8, 1, LANE)
+    y_o = jnp.swapaxes(ownxy_ref[1:2, :, :], 0, 1)
+
+    # exact difference-form distances, bit-identical to the reference
+    dx = x_c[None, :, :] - x_o  # (8, SUBn, LANE)
+    dy = y_c[None, :, :] - y_o
+    d2 = dx * dx + dy * dy
+
+    still_c = cand_chan(6)  # (SUBn, LANE)
+    invalid = (
+        (row_j >= n_agents) | (row_j == i_idx)
+        | (still_c[None, :, :] < 0.5)
+    )
+    d2 = jnp.where(invalid, _BIG, d2)
+    if exact:
+        d2i = pltpu.bitcast(d2, jnp.int32)
+        big_packed = np.int32(np.float32(_BIG).view(np.int32))
+    else:
+        idx_bits = max((SUBn - 1).bit_length(), 1)
+        clear = np.int32(~((1 << idx_bits) - 1))
+        d2i = jnp.bitwise_or(
+            jnp.bitwise_and(pltpu.bitcast(d2, jnp.int32), clear), row_j
+        )
+        big_packed = np.int32(np.float32(_BIG).view(np.int32) & clear)
+
+    alive_own = (
+        jnp.swapaxes(ownsrc_ref[6:7, :, :], 0, 1) >= 0.5
+    ).astype(jnp.float32)  # (8, 1, LANE)
+
+    feats6 = [cand_chan(c)[None, :, :] for c in range(6)]  # (1, SUBn, LANE)
+
+    def slot_body(slot, d2i):
+        m2 = jnp.min(d2i, axis=1, keepdims=True)  # (8, 1, LANE)
+        valid = (m2 < _VALID_MAX).astype(jnp.float32)
+        if exact:
+            eqv = d2i == m2
+            mi = jnp.min(
+                jnp.where(eqv, row_j, SUBn), axis=1, keepdims=True
+            )
+            eq = eqv & (row_j == mi)  # lowest-index tie-break
+        else:
+            eq = d2i == m2  # packed entries unique => one-hot
+        eqf = eq.astype(jnp.float32)
+        # one-hot select: 6 masked sublane reductions (8, SUBn, LANE) —
+        # exact in f32 (a single nonzero term per sum)
+        nbr = [
+            jnp.sum(eqf * feats6[c], axis=1, keepdims=True)
+            for c in range(6)
+        ]  # (8, 1, LANE) each
+        gate = valid * alive_own
+        rows8 = jnp.concatenate(
+            [(nbr[c] - own_chan(c)) * gate for c in range(5)]
+            + [nbr[5] * gate, gate, gate],
+            axis=1,
+        )  # (8, 8, LANE): observer-leading, channel-sublane
+        out_ref[:, pl.ds(pl.multiple_of(slot * 8, 8), 8), :] = rows8
+        return jnp.where(eq, big_packed, d2i)
+
+    jax.lax.fori_loop(0, k, slot_body, d2i)
+
+    t_row = own_chan(7) * alive_own  # (8, 1, LANE)
+    out_ref[:, 8 * k : 8 * k + 1, :] = t_row
+    pad_rows = out_ref.shape[1] - (8 * k + 1)
+    if pad_rows:
+        out_ref[:, 8 * k + 1 :, :] = jnp.zeros(
+            (8, pad_rows, LANE), jnp.float32
+        )
+
+
+def _knn_observation_envlanes(
+    loc_x, loc_y, feats, types_f, still_f, t_norm, *,
+    n_agents: int, k: int, interpret: bool, variant: str, raw_out: bool,
+) -> jnp.ndarray:
+    """Envs-on-lanes dispatch (``variant='envlanes[_exact]'``): grid
+    ``(ceil(E/128), ceil(N/8))``, each step = 128 envs x 8 observers vs
+    all candidates.  See ``_knn_obs_kernel_v8``.  Any agent count.
+
+    ``envlanes_exact`` is oracle-bit-exact (f32 difference-form
+    distances, full-precision lowest-index tie-breaks, and — unlike the
+    mxu/tiled variants — f32 one-hot feature selection with no bf16
+    pair rounding).  ``envlanes`` uses the packed-index tie window.
+    """
+    E, N = loc_x.shape
+    obs_dim = 8 * k + 1
+    obs_rows_pad = ((obs_dim + 7) // 8) * 8
+    SUBn = ((N + 7) // 8) * 8
+    G = SUBn // 8  # observer groups
+    exact = variant.endswith("_exact")
+
+    f32 = jnp.float32
+    EP = ((E + LANE - 1) // LANE) * LANE
+    pad_e = EP - E
+    pad_j = SUBn - N
+
+    def to_lanes(a):  # (E, C, N) -> (C, SUBn, EP), env on lanes
+        a = jnp.transpose(a, (1, 2, 0))
+        return jnp.pad(a, ((0, 0), (0, pad_j), (0, pad_e)))
+
+    xyT = to_lanes(
+        jnp.stack([loc_x.astype(f32), loc_y.astype(f32)], axis=1)
+    )  # (2, SUBn, EP)
+    srcT = to_lanes(
+        jnp.concatenate(
+            [
+                feats.astype(f32),
+                jnp.broadcast_to(types_f[None, None, :], (E, 1, N)),
+                still_f.astype(f32)[:, None, :],
+                jnp.broadcast_to(
+                    t_norm.astype(f32)[:, None, None], (E, 1, N)
+                ),
+            ],
+            axis=1,
+        )
+    )  # (8, SUBn, EP)
+
+    kernel = functools.partial(
+        _knn_obs_kernel_v8, n_agents=n_agents, k=k, exact=exact
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(EP // LANE, G),
+        in_specs=[
+            # candidate-side operands: invariant in g — stay resident
+            pl.BlockSpec((2, SUBn, LANE), lambda e, g: (0, 0, e),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, SUBn, LANE), lambda e, g: (0, 0, e),
+                         memory_space=pltpu.VMEM),
+            # observer-side chunks of the SAME arrays
+            pl.BlockSpec((2, 8, LANE), lambda e, g: (0, g, e),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 8, LANE), lambda e, g: (0, g, e),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (8, obs_rows_pad, LANE), lambda e, g: (g, 0, e),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((SUBn, obs_rows_pad, EP), f32),
+        interpret=interpret,
+    )(xyT, srcT, xyT, srcT)
+
+    if raw_out:
+        return out[:, :, :E]
+    # back to the (envs, agents, features) contract
+    return jnp.transpose(out[:N, :obs_dim, :E], (2, 0, 1))

@@ -153,9 +153,18 @@ def _cpu_env(n_devices: int) -> dict:
     )
     # scrub the TPU-plugin sitecustomize: it blocks on the device claim at
     # interpreter start (docs/performance.md)
+    # ... and make sure the subprocess can import warpdrive_tpu even when
+    # the parent found it via cwd rather than PYTHONPATH (running a script
+    # by path puts the SCRIPT's dir on sys.path, not the repo root)
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
     env["PYTHONPATH"] = os.pathsep.join(
-        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
-        if p and "axon" not in p
+        [repo_root]
+        + [
+            p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+            if p and "axon" not in p and p != repo_root
+        ]
     )
     env.pop("PALLAS_AXON_POOL_IPS", None)
     return env
