@@ -118,12 +118,11 @@ def main():
             _emit_error("device_init_cpu_fallback", exc2)
             sys.exit(1)
     on_tpu = platform == "tpu"
-    # 1000 replicas: the north-star config floor ("1000+ replicas",
-    # BASELINE.json) and the measured optimum for the bf16pair obs path —
-    # the post-bf16pair sweep (artifacts/round2/tpu_envsweep_bf16pair.log)
-    # is monotonically decreasing in env count: 955K @ 1000, 822K @ 2000,
-    # 689K @ 4000 env-steps/s.
-    num_envs = 1000 if on_tpu else 32
+    # 2000 replicas: BASELINE.json says "1000+ replicas" (1000 is the
+    # floor, not the cap) and the round-4 E-sweep of the EXACT Mosaic
+    # kernel (artifacts/round4/r4_ab1b_results.jsonl) peaks at E=2000:
+    # 1063K vs 1006K @1000, 1026K @4000, 1039K @8000 env-steps/s.
+    num_envs = 2000 if on_tpu else 32
     n_steps = 500 if on_tpu else 20
 
     try:
@@ -211,22 +210,25 @@ def main():
     except Exception as exc:
         print(f"[bench] full-loop stage failed: {exc}", file=sys.stderr, flush=True)
 
-    # fast flagship variant: the same Mosaic kernel with the candidate
-    # index packed into the low 7 mantissa bits (ONE integer min per slot
-    # instead of the exact two-phase min) — ~18-21% faster, at the price
+    # fast flagship variant: the multi-tile Mosaic kernel with the
+    # candidate index packed into low mantissa bits (ONE integer min per
+    # slot instead of the exact two-phase min) — the round-4 variant
+    # sweep's winner (artifacts/round4/r4_ab1_results.jsonl: pallas_tiled
+    # 1310K vs pallas_mxu 1251K @E=1000/B=2; E=2000 1218K), at the price
     # of index tie-breaks for distances within relative 2^-16 (measured
     # 0-2 of 67,200 slots deviate on rolled states; artifacts/round3).
     # Clearly labeled: the HEADLINE above is the oracle-exact config.
+    fast_envs = 1000 if on_tpu else 32
     try:
         print("[bench] compiling + timing fast (packed-tie) variant...",
               file=sys.stderr, flush=True)
-        sys_fast = build_flagship(num_envs=num_envs, fc_dims=(256, 256),
-                                  seed=0, knn_algorithm="pallas_mxu")
+        sys_fast = build_flagship(num_envs=fast_envs, fc_dims=(256, 256),
+                                  seed=0, knn_algorithm="pallas_tiled")
         fast_rate = rollout_rate(
             sys_fast["env_only_step"],
             (sys_fast["state"], jnp.zeros(())),
             n_steps,
-            num_envs,
+            fast_envs,
             key,
         )
         print(
@@ -238,8 +240,8 @@ def main():
                     "vs_baseline": round(
                         fast_rate / BASELINE_ENV_STEPS_PER_S, 4
                     ),
-                    "num_envs": num_envs,
-                    "knn_algorithm": "pallas_mxu",
+                    "num_envs": fast_envs,
+                    "knn_algorithm": sys_fast["env"].knn_algorithm,
                     "exactness": "near-tie index tie-breaks, <=2/67200 slots",
                     "platform": platform,
                 }
@@ -433,11 +435,14 @@ def main():
 
     # 1024-agent TagContinuous: the top of the reference's agents-per-env
     # envelope (README.md:13-26 "up to 1024 agents"; BASELINE.json config
-    # #5).  The O(N^2) distance matrix is 1024^2 x 4B = 4 MB/env.  The
-    # EXACT monotonic ladder wins at this scale (artifacts/round3/
-    # r3_ab12: ladder 13.7K env-steps/s @E=64 vs approx 3.9K — the
-    # single-pass PartialReduce loses to k fused min passes here too;
-    # near-tie "packed" reaches 17.9K for anyone trading exactness).
+    # #5).  The O(N^2) distance matrix is 1024^2 x 4B = 4 MB/env.  Round
+    # 4 moved this stage onto the FUSED multi-tile Mosaic kernel
+    # (pallas_tiled_exact, v7 — VMEM-resident per-block distance tiles)
+    # and lifted E past the round-3 materialization cap: 17.0K
+    # env-steps/s @E=256 = 17.45M agent-steps/s, +24% over the round-3
+    # XLA exact-ladder choice (13.7K @E=64); near-tie "pallas_tiled"
+    # reaches 20.5K @E=64 for anyone trading exactness
+    # (artifacts/round4/r4_ab3_results.jsonl; first compile ~10 min).
     try:
         print("[bench] compiling + timing 1024-agent TagContinuous...",
               file=sys.stderr, flush=True)
@@ -448,11 +453,13 @@ def main():
             FLAGSHIP_ENV_KWARGS as _FK,
         )
 
-        a_envs = 64 if on_tpu else 2
+        a_envs = 256 if on_tpu else 2
         a_steps = 100 if on_tpu else 5
         aenv = _TTC(**dict(
             _FK, num_taggers=20, num_runners=1004, grid_length=60.0,
-            seed=0, knn_algorithm="ladder", knn_select="bf16pair"))
+            seed=0,
+            knn_algorithm="pallas_tiled_exact" if on_tpu else "ladder",
+            knn_select="bf16pair"))
         aengine = EnvEngine(env_obj=aenv, num_envs=a_envs, seed=0)
         a_state = {k: v for k, v in aengine.state.items()
                    if k not in ("observations", "sampled_actions")}
@@ -481,6 +488,7 @@ def main():
                     "unit": "env_steps/s",
                     "vs_baseline": round(a_rate / BASELINE_ENV_STEPS_PER_S, 4),
                     "num_envs": a_envs,
+                    "knn_algorithm": aenv.knn_algorithm,
                     "num_agents": int(a_agents),
                     "agent_steps_per_sec": round(a_rate * a_agents),
                     "platform": platform,
@@ -498,13 +506,17 @@ def main():
     # off-policy (DDPG) training throughput on Pendulum: the BASELINE
     # config left untold by earlier rounds — continuous actions, OU noise,
     # device-side replay, actor+critic+target updates in one fused program.
+    # Round-4 env-count sweep (artifacts/round4/r4_ab4_results.jsonl):
+    # throughput scales 6.4M @2K -> 29.2M @16K -> 43.8M @64K f32 and
+    # flattens (45.0M @128K bf16); dtype is neutral on this tiny model,
+    # so the stage runs the measured optimum E=64000 in plain f32.
     try:
         print("[bench] compiling + timing Pendulum DDPG training...",
               file=sys.stderr, flush=True)
         from warpdrive_tpu.training.scripts.train import setup_trainer
         from warpdrive_tpu.utils.config import load_run_config
 
-        d_envs = 2000 if on_tpu else 16
+        d_envs = 64000 if on_tpu else 16
         dcfg = load_run_config("single_pendulum")
         dcfg["trainer"]["num_envs"] = d_envs
         dcfg["trainer"]["train_batch_size"] = 100 * d_envs
