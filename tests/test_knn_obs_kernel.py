@@ -452,3 +452,47 @@ def test_envlanes_kernel_multi_tile(num_agents, k, num_envs, variant):
         assert frac_bad < 2e-3, f"too many selection swaps: {frac_bad:.4%}"
     else:
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_tiled_exact_1024_agents_bench_geometry():
+    """Oracle parity at the EXACT 1024-agent bench-stage geometry
+    (bench.py envelope stage: 20 taggers + 1004 runners, grid 60, k=10,
+    pallas_tiled_exact) — the v7 multi-tile kernel at 8 observer tiles.
+    Interpret mode; 2 envs keeps CPU time reasonable."""
+    env = TpuTagContinuous(
+        num_taggers=20,
+        num_runners=1004,
+        grid_length=60.0,
+        episode_length=500,
+        use_full_observation=False,
+        num_other_agents_observed=10,
+    )
+    state = _build_state(env, 2, seed=5)
+    ref = jax.vmap(env.observe_fn)(dict(state))
+    feats = jnp.stack(
+        [
+            state["loc_x"] / env.grid_diagonal,
+            state["loc_y"] / env.grid_diagonal,
+            state["speed"] / (env.max_speed + np.float32(1e-10)),
+            state["acceleration"] / (env.max_speed + np.float32(1e-10)),
+            state["direction"] / np.float32(2 * np.pi),
+        ],
+        axis=1,
+    )
+    out = knn_observation(
+        state["loc_x"],
+        state["loc_y"],
+        feats,
+        jnp.asarray(env.agent_types, dtype=jnp.float32),
+        state["still_in_the_game"].astype(jnp.float32),
+        (state[Constants.TIMESTEP] / env.episode_length).astype(
+            jnp.float32
+        ),
+        n_agents=env.num_agents,
+        k=10,
+        interpret=True,
+        variant="tiled_exact",
+    )
+    assert out.shape == ref.shape
+    # selection is exact; features carry bf16 hi/lo pair rounding (~4e-6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=8e-6)
