@@ -88,19 +88,28 @@ def run_one(label, mb, mdt, bdt, remat):
     rollout_compile_s = round(time.time() - t0, 1)
     batch = outs[1]
 
+    import numpy as np
+
+    def fetch(tree):
+        # VALUE FETCH, not block_until_ready: the tunnel can defer
+        # realization past "ready" (ROUND4_NOTES.md tooling discovery) —
+        # mb10 measured a bogus 0.5 ms with block_until_ready only.
+        leaf = jax.tree_util.tree_leaves(tree)[0]
+        np.asarray(leaf).ravel()[:1]
+
     upd = jax.jit(tr._build_update_profile_fn())
     t_arg = jnp.asarray(0.0, jnp.float32)
     key = jax.random.PRNGKey(5)
     t0 = time.time()
     out = upd(tr._carry, batch, t_arg, key)
-    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+    fetch(out)
     compile_s = time.time() - t0
     best = float("inf")
     for _ in range(3):
         key, sub = jax.random.split(key)
         t0 = time.time()
         out = upd(out, batch, t_arg, sub)
-        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+        fetch(out)
         best = min(best, time.time() - t0)
     log({"variant": label, "update_ms": round(best * 1000, 1),
          "update_compile_s": round(compile_s, 1),

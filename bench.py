@@ -61,7 +61,8 @@ def rollout_rate(step_fn, state, n_steps: int, num_envs: int, key,
         key, sub = jax.random.split(key)
         t0 = time.perf_counter()
         state = jitted(*args(state, sub))
-        jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
+        # value fetch per repeat (same rationale as the warmup fetch)
+        np.asarray(jax.tree_util.tree_leaves(state)[0]).ravel()[:1]
         dt = time.perf_counter() - t0
         best = max(best, n_steps * num_envs / dt)
     return best

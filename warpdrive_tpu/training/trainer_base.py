@@ -1020,15 +1020,24 @@ class TrainerBase:
         # The iteration is timed by CHAINING its output carry into the next
         # repeat (what train() actually does); the rollout by drawing a
         # fresh rng per repeat.  Best-of-repeats: robust to load spikes.
+        # Every repeat ends with a one-element VALUE FETCH, not just
+        # block_until_ready: the tunneled deployment can report a buffer
+        # "ready" while deferring its realization (round-4 discovery,
+        # ROUND4_NOTES.md — an update variant "measured" 0.5 ms under
+        # block_until_ready and 200+ ms under a fetch).  The fetch adds
+        # one tiny d2h round-trip (~sub-ms), negligible at bench scale.
+        def _fetch(tree):
+            np.asarray(jax.tree_util.tree_leaves(tree)[0]).ravel()[:1]
+
         def timeit(fn, first_args, next_args):
             out = fn(*first_args)  # compile + warm up
-            jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+            _fetch(out)
             best = float("inf")
             for _ in range(repeats):
                 args = next_args(out)
                 t0 = time.time()
                 out = fn(*args)
-                jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+                _fetch(out)
                 best = min(best, time.time() - t0)
             return best * 1000
 
