@@ -36,6 +36,34 @@ def apply_logit_mask(logits: jnp.ndarray, mask: jnp.ndarray = None) -> jnp.ndarr
     return logits + (1.0 - mask) * _LARGE_NEG_NUM
 
 
+class _DenseParams(nn.Module):
+    """Owns a Dense layer's parameters WITHOUT applying them.
+
+    Declared with the same submodule name, param names and initializers
+    as ``nn.Dense`` (kernel: lecun_normal, bias: zeros), so the param
+    tree — and therefore checkpoints, serving bundles and the param-RNG
+    fold-in path (init values) — is IDENTICAL to the per-head
+    ``nn.Dense`` modules it replaces.  The caller concatenates several
+    heads' kernels and runs ONE fused matmul: the round-4 update trace
+    (artifacts/round4/trace_update_mb20) showed the three separate
+    output heads re-reading the full hidden-activation tensor six times
+    per minibatch (forward + backward each), all HBM-bound — the
+    dominant non-trunk cost of the A2C update program.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (in_features, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class FullyConnected(nn.Module):
     """MLP trunk + per-action-component policy heads + value head."""
 
@@ -71,14 +99,39 @@ class FullyConnected(nn.Module):
                 for idx, dim in enumerate(self.output_dims):
                     masks[idx] = action_mask[..., start : start + dim]
                     start += dim
-            heads = [
-                apply_logit_mask(
-                    nn.Dense(dim, name=f"policy_head_{idx}",
-                             dtype=self.dtype)(x).astype(jnp.float32),
-                    masks[idx],
-                )
+            # ONE fused matmul for all policy heads (+ the value head
+            # below): the per-head kernels are concatenated at call time
+            # — param tree unchanged vs separate nn.Dense heads, but the
+            # hidden tensor is read once instead of per-head (forward
+            # AND backward; see _DenseParams docstring).
+            kbs = [
+                _DenseParams(dim, name=f"policy_head_{idx}")(x.shape[-1])
                 for idx, dim in enumerate(self.output_dims)
             ]
+            if self.include_value_head:
+                kbs.append(_DenseParams(1, name="vf_head")(x.shape[-1]))
+            kernel = jnp.concatenate([k for k, _ in kbs], axis=-1)
+            bias = jnp.concatenate([b for _, b in kbs], axis=-1)
+            if self.dtype is not None:
+                kernel = kernel.astype(self.dtype)
+                bias = bias.astype(self.dtype)
+            fused = x @ kernel + bias
+            heads = []
+            start = 0
+            for idx, dim in enumerate(self.output_dims):
+                heads.append(
+                    apply_logit_mask(
+                        fused[..., start : start + dim].astype(
+                            jnp.float32
+                        ),
+                        masks[idx],
+                    )
+                )
+                start += dim
+            value = None
+            if self.include_value_head:
+                value = fused[..., start].astype(jnp.float32)
+            return heads, value
 
         value = None
         if self.include_value_head:
