@@ -267,8 +267,10 @@ def main():
 
         # 32K replicas + bf16 model/batch + env-axis minibatching: the
         # measured training optimum (artifacts/round3/r3_ab10: 4.79M
-        # @2000 f32 -> 11.54M @32000 bf16+mb4 — big fleets amortize the
-        # per-step policy/sampling/storage overheads)
+        # @2000 f32 -> 11.54M @32000 bf16+mb4; round-4 r4_ab5/ab5b with
+        # the fused head: 12.46M @32K/mb8 — 64K envs REGRESSES to 11.4M
+        # (super-linear rollout cost), and the stage is rollout-bound:
+        # rollout 166 ms vs update 128 ms per iteration)
         t_envs = 32000 if on_tpu else 16
         T_train = 100 if on_tpu else 10
         env = TpuTagGridWorld(
@@ -288,7 +290,7 @@ def main():
             },
             "policy": {"shared": {"to_train": True, "gamma": 0.98,
                                   "lr": 0.001,
-                                  "num_minibatches": 4 if on_tpu else 1,
+                                  "num_minibatches": 8 if on_tpu else 1,
                                   "shuffle_minibatches": False,
                                   "model": {"type": "fully_connected",
                                             "fc_dims": [64, 64],
