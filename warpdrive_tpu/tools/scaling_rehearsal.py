@@ -34,7 +34,7 @@ import time
 # two scales: a tiny iteration (coordination-latency-bound — the floor)
 # and a bigger one (compute amortizes the cross-process overhead — the
 # regime the reference's linear-scaling claim lives in)
-SCALES = {"small": 32, "large": 512, "xlarge": 2048}
+SCALES = {"small": 32, "large": 512, "xlarge": 2048, "xxlarge": 8192}
 T_STEPS = 20
 TIMED_ITERS = 8
 NUM_ENVS = 32  # overridden per run via WD_REHEARSAL_ENVS
