@@ -241,9 +241,16 @@ class TpuTagGridWorld(TagGridWorld, TpuEnvironmentContext):
                 axis=1,
             )  # (N, 4N + 1)
         d2 = (cx[:-1] - cx[-1]) ** 2 + (cy[:-1] - cy[-1]) ** 2
-        nearest = jnp.argmin(d2)
-        target_x = jnp.where(is_runner, xf[nearest], xf[-1])
-        target_y = jnp.where(is_runner, yf[nearest], yf[-1])
+        # lowest-index argmin via one-hot sum (no data-dependent gather
+        # — see step_fn note); matches jnp.argmin's tie semantics
+        m = jnp.min(d2)
+        eq = d2 == m
+        first = eq & (jnp.cumsum(eq.astype(jnp.int32)) == 1)
+        sel = first.astype(jnp.float32)
+        near_x = jnp.sum(sel * xf[:-1])
+        near_y = jnp.sum(sel * yf[:-1])
+        target_x = jnp.where(is_runner, near_x, xf[-1])
+        target_y = jnp.where(is_runner, near_y, yf[-1])
         return jnp.stack(
             [xf, yf, target_x, target_y, types, jnp.full((N,), t_norm)],
             axis=1,
@@ -256,7 +263,15 @@ class TpuTagGridWorld(TagGridWorld, TpuEnvironmentContext):
         x = state["loc_x"]
         y = state["loc_y"]
         act = state[_ACTIONS][:, 0]  # (N,)
-        deltas = jnp.asarray(STEP_ACTIONS)[act]
+        # one-hot contraction instead of a table gather: data-dependent
+        # gathers serialize on TPU — the round-4 iteration trace
+        # (artifacts/round4/trace_gridworld_iter) showed the rollout's
+        # vmapped gathers running at 17 GB/s and costing 35% of the
+        # whole training iteration at 32K replicas
+        onehot = (
+            act[:, None] == jnp.arange(len(STEP_ACTIONS), dtype=act.dtype)
+        ).astype(jnp.int32)  # (N, 5)
+        deltas = onehot @ jnp.asarray(STEP_ACTIONS)  # (N, 2)
         new_x = x + deltas[:, 0]
         new_y = y + deltas[:, 1]
         cx = jnp.clip(new_x, 0, self.grid_length)

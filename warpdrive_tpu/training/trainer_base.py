@@ -389,7 +389,23 @@ class TrainerBase:
             else:
                 obs = self._reshape_flatten(env_state[f"{_OBS}_{tag}"], Ap)
         else:
-            take = lambda x: jnp.take(x, jnp.asarray(ids), axis=1)
+            # gather fast paths (round-4 gridworld trace: vmapped
+            # per-step gathers run at ~17-76 GB/s on TPU): a policy
+            # owning ALL agents needs no gather at all, and a policy
+            # whose agent ids are one contiguous run is a static slice
+            ids_arr = np.asarray(ids)
+            if len(ids_arr) == eng.n_agents and np.array_equal(
+                ids_arr, np.arange(eng.n_agents)
+            ):
+                take = lambda x: x
+            elif np.array_equal(
+                ids_arr,
+                np.arange(ids_arr[0], ids_arr[0] + len(ids_arr)),
+            ):
+                lo, hi = int(ids_arr[0]), int(ids_arr[0]) + len(ids_arr)
+                take = lambda x: x[:, lo:hi]
+            else:
+                take = lambda x: jnp.take(x, jnp.asarray(ids), axis=1)
             if group["mode"] == "dict":
                 parts = []
                 for key in group["keys"]:
