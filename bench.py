@@ -267,10 +267,11 @@ def main():
 
         # 32K replicas + bf16 model/batch + env-axis minibatching: the
         # measured training optimum (artifacts/round3/r3_ab10: 4.79M
-        # @2000 f32 -> 11.54M @32000 bf16+mb4; round-4 r4_ab5/ab5b with
-        # the fused head: 12.46M @32K/mb8 — 64K envs REGRESSES to 11.4M
-        # (super-linear rollout cost), and the stage is rollout-bound:
-        # rollout 166 ms vs update 128 ms per iteration)
+        # @2000 f32 -> 11.54M @32000 bf16+mb4; round-4: fused head
+        # 12.46M @mb8, then the gather kills — one-hot STEP_ACTIONS +
+        # one-hot nearest-target + identity policy take — cut the
+        # rollout 165.6 -> 89.4 ms: 17.3M (r4_ab5d), now update-bound.
+        # 64K envs REGRESSES (super-linear rollout cost, r4_ab5).
         t_envs = 32000 if on_tpu else 16
         T_train = 100 if on_tpu else 10
         env = TpuTagGridWorld(

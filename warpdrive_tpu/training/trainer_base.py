@@ -405,7 +405,22 @@ class TrainerBase:
                 lo, hi = int(ids_arr[0]), int(ids_arr[0]) + len(ids_arr)
                 take = lambda x: x[:, lo:hi]
             else:
-                take = lambda x: jnp.take(x, jnp.asarray(ids), axis=1)
+                # interleaved ids (e.g. the flagship's random tagger
+                # placement): contract against a constant one-hot
+                # selection matrix instead of gathering — rides the
+                # MXU/VPU instead of the serial gather unit
+                sel_np = np.zeros(
+                    (len(ids_arr), eng.n_agents), np.float32
+                )
+                sel_np[np.arange(len(ids_arr)), ids_arr] = 1.0
+                sel_const = jnp.asarray(sel_np)
+
+                def take(x, _sel=sel_const, _ids=ids):
+                    if x.ndim == 3:
+                        return jnp.einsum(
+                            "pn,enf->epf", _sel.astype(x.dtype), x
+                        )
+                    return jnp.take(x, jnp.asarray(_ids), axis=1)
             if group["mode"] == "dict":
                 parts = []
                 for key in group["keys"]:
