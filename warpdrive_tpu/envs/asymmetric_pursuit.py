@@ -240,12 +240,15 @@ class TpuAsymmetricPursuit(AsymmetricPursuit, TpuEnvironmentContext):
         a_p = state[f"{_ACTIONS}_pursuer"][:, 0]  # (P,) int32
         a_e = state[f"{_ACTIONS}_evader"][:, 0]  # (E,) int32
         # one-hot contraction instead of a data-dependent gather
-        # (TPU lowers moves[a] serially; docs/performance.md)
+        # (TPU lowers moves[a] serially; docs/performance.md). NOTE:
+        # eye(...)[a] is itself a gather — build the one-hot with a
+        # comparison broadcast (round 4)
+        rng5 = jnp.arange(len(MOVES), dtype=a_p.dtype)
         d_p = jnp.einsum(
-            "pa,ac->pc", jnp.eye(len(MOVES))[a_p], moves
+            "pa,ac->pc", (a_p[:, None] == rng5).astype(moves.dtype), moves
         ) * self.pursuer_step
         d_e = jnp.einsum(
-            "ea,ac->ec", jnp.eye(len(MOVES))[a_e], moves
+            "ea,ac->ec", (a_e[:, None] == rng5).astype(moves.dtype), moves
         ) * self.evader_step
         loc = state["loc"]
         loc = jnp.clip(

@@ -186,9 +186,11 @@ class TpuSingleAgentOneAtomChemSearch(
         pos = state["position"][0]  # (3,) int32
         action = state[_ACTIONS][0, 0]
         moves = jnp.asarray(ATOM_MOVES)
-        move = (
-            jnp.eye(len(ATOM_MOVES), dtype=jnp.int32)[action][None, :] @ moves
-        )[0]
+        # comparison-broadcast one-hot (eye[action] is itself a gather)
+        onehot = (
+            action == jnp.arange(len(ATOM_MOVES), dtype=jnp.int32)
+        ).astype(jnp.int32)
+        move = (onehot[None, :] @ moves)[0]
         dims = jnp.asarray([self.nx, self.ny, self.nz], dtype=jnp.int32)
         new = (pos + move) % dims
 

@@ -201,7 +201,9 @@ class TpuClassicControlAcrobotEnv(ClassicControlAcrobotEnv, TpuEnvironmentContex
         action = state[_ACTIONS][0, 0]
         t = state[Constants.TIMESTEP] + 1
 
-        torque = jnp.asarray(AVAIL_TORQUE)[action]
+        # AVAIL_TORQUE is exactly [-1, 0, 1]: arithmetic instead of a
+        # data-dependent table gather (serial on TPU; docs/performance.md)
+        torque = (action - 1).astype(jnp.float32)
         new_s = _integrate(s, torque, jnp)
         terminated = (-jnp.cos(new_s[0]) - jnp.cos(new_s[1] + new_s[0])) > 1.0
 
