@@ -270,7 +270,8 @@ def main():
         # @2000 f32 -> 11.54M @32000 bf16+mb4; round-4: fused head
         # 12.46M @mb8, then the gather kills — one-hot STEP_ACTIONS +
         # one-hot nearest-target + identity policy take — cut the
-        # rollout 165.6 -> 89.4 ms: 17.3M (r4_ab5d), now update-bound.
+        # rollout 165.6 -> 82-90 ms, and the post-fix minibatch resweep
+        # found mb64: 25.3M (r4_ab5e/ab5f; mb128 regresses on dispatch).
         # 64K envs REGRESSES (super-linear rollout cost, r4_ab5).
         t_envs = 32000 if on_tpu else 16
         T_train = 100 if on_tpu else 10
@@ -291,7 +292,7 @@ def main():
             },
             "policy": {"shared": {"to_train": True, "gamma": 0.98,
                                   "lr": 0.001,
-                                  "num_minibatches": 8 if on_tpu else 1,
+                                  "num_minibatches": 64 if on_tpu else 1,
                                   "shuffle_minibatches": False,
                                   "model": {"type": "fully_connected",
                                             "fc_dims": [64, 64],
