@@ -648,13 +648,19 @@ def main():
             "runner": [i for i in range(fenv2.num_agents)
                        if fenv2.agent_type[i] == 0],
         }
-        # mb40 + bf16 model/batch + fused output head: the round-4 update
-        # decomposition's optimum (r4_ab2b sweep: mb40 390.4 ms < mb20
-        # 414.6 < mb4 687, crashes below mb4; fused head r4_ab2d: mb40
-        # update 329.4 ms, 315.1K steps/s vs r3's 278.6K).  The op-level
-        # trace (trace_update_mb20/) shows the update HBM-bound at
-        # 650-760 GB/s — docs/performance.md §7 has the roofline.
-        fpol2 = dict(fpol, num_minibatches=40, shuffle_minibatches=False,
+        # mb400 + bf16 model/batch + fused output head: the round-4
+        # minibatch ladder kept improving far past the pre-fusion sweep's
+        # optimum — 5-env minibatches keep the per-mb activation set near
+        # VMEM (r4_ab2b/ab2d/ab6: mb20 415 -> mb40 329 -> mb100 283 ->
+        # mb400 210 ms update; mb1000/2000 regress on serial overhead):
+        # 382.1K steps/s vs r3's 278.6K.  The op-level trace
+        # (trace_update_mb20/) shows the update HBM-bound at 650-760
+        # GB/s — docs/performance.md §7b has the roofline.  Caveat: 400
+        # optimizer steps per batch is a different training-dynamics
+        # point than the reference's whole-batch update; mb is a
+        # per-policy config knob, and the learning-validation runs use
+        # small mb counts.
+        fpol2 = dict(fpol, num_minibatches=400, shuffle_minibatches=False,
                      model={"type": "fully_connected",
                             "fc_dims": [256, 256], "dtype": "bfloat16"})
         fcfg2 = {
