@@ -24,7 +24,7 @@ from warpdrive_tpu.presets import FLAGSHIP_ENV_KWARGS
 from warpdrive_tpu.training.trainer_a2c import TrainerA2C
 
 E, T = 2000, 100
-LOGDIR = "/root/repo/artifacts/round4/trace_update_mb20"
+LOGDIR = "/root/repo/artifacts/round4/trace_update_mb400"
 
 fenv = TpuTagContinuous(**dict(FLAGSHIP_ENV_KWARGS, seed=274880,
                                knn_algorithm="pallas_mxu_exact"))
@@ -36,7 +36,7 @@ pmap = {
 fpol = {"to_train": True, "algorithm": "A2C", "vf_loss_coeff": 1,
         "entropy_coeff": 0.05, "clip_grad_norm": True,
         "max_grad_norm": 0.5, "gamma": 0.98, "lr": 0.001,
-        "num_minibatches": 20, "shuffle_minibatches": False,
+        "num_minibatches": 400, "shuffle_minibatches": False,
         "model": {"type": "fully_connected", "fc_dims": [256, 256],
                   "dtype": "bfloat16"}}
 cfg = {

@@ -23,7 +23,7 @@ pmap = {
     "tagger": [i for i in range(fenv.num_agents) if fenv.agent_type[i] == 1],
     "runner": [i for i in range(fenv.num_agents) if fenv.agent_type[i] == 0],
 }
-for mb in (500, 250):
+for mb in (400,):
     fpol = {"to_train": True, "algorithm": "A2C", "vf_loss_coeff": 1,
             "entropy_coeff": 0.05, "clip_grad_norm": True,
             "max_grad_norm": 0.5, "gamma": 0.98, "lr": 0.001,
@@ -45,7 +45,7 @@ for mb in (500, 250):
         tr = TrainerA2C(env_wrapper=fengine, config=cfg,
                         policy_tag_to_agent_id_map=pmap, verbose=False)
         prof = tr.profile_phases(repeats=3)
-        log({"variant": f"einsum_take_mb{mb}_fused",
+        log({"variant": f"envmajor_mb{mb}_fused",
              "steps_per_sec": round(prof["steps_per_sec"]),
              "rollout_ms": round(prof["rollout_ms"], 2),
              "update_ms": round(prof["update_ms"], 2),
@@ -53,6 +53,6 @@ for mb in (500, 250):
              "wall_s": round(time.time() - t0, 1)})
         tr.graceful_close()
     except Exception as e:
-        log({"variant": f"einsum_take_mb{mb}_fused",
+        log({"variant": f"envmajor_mb{mb}_fused",
              "error": f"{type(e).__name__}: {e}"[:300]})
 print("AB6B_DONE", flush=True)

@@ -540,8 +540,40 @@ class TrainerA2C(TrainerBase):
                         )
                     dk_seq = jnp.repeat(epoch_keys, num_mb, axis=0)
 
+                    # env-major obs fast path (round 4): with contiguous
+                    # env blocks, transpose the BIG per-sample tensors
+                    # ONCE to (E, T, A, F) so every minibatch slice is a
+                    # contiguous leading-axis block whose flatten into
+                    # the policy matmul is layout-free.  The mb400
+                    # update trace (artifacts/round4/trace_update_mb400)
+                    # showed the per-mb time-major dynamic_slice+reshape
+                    # copies costing 41 of 178 device-ms.  Gated off for
+                    # shuffled minibatches (gather path), recompute-obs,
+                    # and PPO behavior-log-prob alignment.
+                    import os as _os
+
+                    env_major = (
+                        not shuffle and obs_b is not None
+                        and old_lp is None and not mb_old_lp
+                        # a mesh shards the env axis: a dynamic_slice
+                        # along it would cross shard boundaries — keep
+                        # the time-major path there
+                        and getattr(self.engine, "mesh", None) is None
+                        # escape hatch for A/Bs and the parity test
+                        and not _os.environ.get("WD_NO_ENV_MAJOR")
+                    )
+                    if env_major:
+                        obs_em = jnp.moveaxis(obs_b, 0, 1)
+                        mask_em = (
+                            None if mask_b is None
+                            else jnp.moveaxis(mask_b, 0, 1)
+                        )
+                    else:
+                        obs_em = mask_em = None
+
                     def mb_loss(p, old_lp_full, idx, dk_e, tag=tag,
-                                algo=algo, mask_b=mask_b):
+                                algo=algo, mask_b=mask_b,
+                                obs_em=obs_em, mask_em=mask_em):
                         if shuffle:
                             take = lambda x: (
                                 None if x is None
@@ -560,6 +592,19 @@ class TrainerA2C(TrainerBase):
                             # obs batch)
                             phys_mb = jax.tree_util.tree_map(take, phys_b)
                             obs_mb, mask_mb = self._derive_obs(phys_mb, tag)
+                        elif obs_em is not None:
+                            # env-major fast path: contiguous leading-axis
+                            # block — the flatten into the policy matmul
+                            # is layout-free (no per-mb reshape copy)
+                            obs_mb = jax.lax.dynamic_slice_in_dim(
+                                obs_em, idx, mb_size, axis=0
+                            )
+                            mask_mb = (
+                                None if mask_em is None
+                                else jax.lax.dynamic_slice_in_dim(
+                                    mask_em, idx, mb_size, axis=0
+                                )
+                            )
                         else:
                             obs_mb, mask_mb = take(obs_b), take(mask_b)
                         act_mb = take(act_b)
@@ -577,6 +622,15 @@ class TrainerA2C(TrainerBase):
                             action_mask=mask_mb,
                             remat=self.policy_remat.get(tag, False),
                         )
+                        if obs_b is not None and obs_em is not None:
+                            # forward outputs are (E_mb, T, A, ...) in the
+                            # env-major path; the loss math stays
+                            # time-major — transpose the SMALL outputs
+                            # back (logits/values are ~1% of obs bytes)
+                            logits_list = [
+                                jnp.moveaxis(lg, 0, 1) for lg in logits_list
+                            ]
+                            values = jnp.moveaxis(values, 0, 1)
                         return algo.compute_loss_and_metrics(
                             timestep,
                             act_mb,
