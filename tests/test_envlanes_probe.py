@@ -1,0 +1,138 @@
+"""Tests for the v8 envlanes toolchain capability probe + fence wiring.
+
+The fence (``ops/knn_obs.py``) must consult the cached probe verdict on
+TPU, force interpret mode on CPU, and never run the probe implicitly.
+Reference behavior being fenced: the reference's multi-block env layout
+(``warp_drive/cuda_includes/core/env_thread_sync.cu:31-62``) has no such
+toolchain hazard; this probe is TPU-framework-specific machinery.
+"""
+
+import json
+import os
+
+import pytest
+
+from warpdrive_tpu.ops import envlanes_probe as ep
+
+
+def test_toolchain_key_mentions_versions():
+    key = ep.toolchain_key()
+    assert "jax" in key and "jaxlib" in key and "libtpu" in key
+
+
+def test_cached_verdict_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.setenv(ep._CACHE_ENV, str(tmp_path))
+    key = ep.toolchain_key()
+    assert ep.cached_verdict(key) is None
+    ep._write_verdict(key, False, "wedged in test")
+    assert ep.cached_verdict(key) is False
+    ep._write_verdict(key, True, "ok in test")
+    assert ep.cached_verdict(key) is True
+    # other toolchains remain unprobed
+    assert ep.cached_verdict("jax0.0.0-other") is None
+    # file is sane json holding both detail strings
+    with open(os.path.join(str(tmp_path), "envlanes_probe.json")) as f:
+        data = json.load(f)
+    assert data[key]["detail"] == "ok in test"
+
+
+def test_cached_verdict_survives_corrupt_cache(tmp_path, monkeypatch):
+    monkeypatch.setenv(ep._CACHE_ENV, str(tmp_path))
+    path = os.path.join(str(tmp_path), "envlanes_probe.json")
+    with open(path, "w") as f:
+        f.write("{not json")
+    assert ep.cached_verdict() is None
+    # a write after corruption recreates the file
+    ep._write_verdict(ep.toolchain_key(), True, "recovered")
+    assert ep.cached_verdict() is True
+
+
+def test_probe_returns_cached_without_subprocess(tmp_path, monkeypatch):
+    monkeypatch.setenv(ep._CACHE_ENV, str(tmp_path))
+    ep._write_verdict(ep.toolchain_key(), False, "cached wedge")
+
+    def boom(*a, **k):  # pragma: no cover - must not be reached
+        raise AssertionError("probe must not launch a subprocess on a hit")
+
+    monkeypatch.setattr(ep.subprocess, "run", boom)
+    assert ep.probe() is False
+
+
+def test_probe_child_script_passes_on_cpu(tmp_path, monkeypatch):
+    """The probe child is a real wedge-class kernel; on the CPU
+    interpreter-free pallas backend it must run and verify (the wedge is
+    a TPU-Mosaic property).  This also guards the child script against
+    bit-rot."""
+    monkeypatch.setenv(ep._CACHE_ENV, str(tmp_path))
+    # force the child onto the CPU backend regardless of the host env
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    ok = ep.probe(timeout=240.0, force=True)
+    assert ok is True
+    assert ep.cached_verdict() is True
+
+
+def test_fence_reads_cache_not_probe(tmp_path, monkeypatch):
+    """knn_observation's TPU fence must consult cached_verdict and raise
+    with the probe instructions when the verdict is absent/negative."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from warpdrive_tpu.ops import knn_obs
+
+    if jax.default_backend() != "cpu":  # pragma: no cover - CPU CI suite
+        pytest.skip("fence behavior test drives the code path via mocks")
+
+    monkeypatch.setenv(ep._CACHE_ENV, str(tmp_path))
+    N, k = 12, 3
+    rng = np.random.RandomState(0)
+
+    def make_args(E):
+        # distinct env counts per call: knn_observation is jit-wrapped,
+        # so same-shape calls would hit the trace cache and skip the
+        # fence re-evaluation
+        return (
+            jnp.asarray(rng.rand(E, N), jnp.float32),
+            jnp.asarray(rng.rand(E, N), jnp.float32),
+            jnp.asarray(rng.rand(E, 5, N), jnp.float32),
+            jnp.asarray(rng.randint(0, 2, N), jnp.float32),
+            jnp.ones((E, N), jnp.float32),
+            jnp.zeros((E,), jnp.float32),
+        )
+
+    # on CPU with interpret=False the fence must FORCE interpret mode
+    # (ADVICE r4: no obscure lowering error) and return a result
+    out = knn_obs.knn_observation(
+        *make_args(2), n_agents=N, k=k, variant="envlanes_exact",
+        interpret=False,
+    )
+    assert out.shape == (2, N, 8 * k + 1)
+
+    # simulate a TPU backend: no cached verdict -> NotImplementedError
+    monkeypatch.setattr(knn_obs, "_backend", lambda: "tpu")
+    with pytest.raises(NotImplementedError, match="envlanes_probe"):
+        knn_obs.knn_observation(
+            *make_args(3), n_agents=N, k=k, variant="envlanes_exact",
+            interpret=False,
+        )
+    # negative verdict -> still fenced
+    ep._write_verdict(ep.toolchain_key(), False, "wedged")
+    with pytest.raises(NotImplementedError, match="wedge"):
+        knn_obs.knn_observation(
+            *make_args(4), n_agents=N, k=k, variant="envlanes_exact",
+            interpret=False,
+        )
+    # positive verdict -> fence lifts; the call proceeds into
+    # pallas_call on the fake backend and fails there instead (any
+    # non-NotImplementedError is acceptance of the unfencing)
+    ep._write_verdict(ep.toolchain_key(), True, "fixed toolchain")
+    try:
+        knn_obs.knn_observation(
+            *make_args(5), n_agents=N, k=k, variant="envlanes_exact",
+            interpret=False,
+        )
+    except NotImplementedError as exc:  # pragma: no cover
+        pytest.fail(f"fence did not lift on positive verdict: {exc}")
+    except Exception:
+        pass  # lowering failure on the mocked backend is expected

@@ -712,6 +712,12 @@ def _v7_body(cand_ref, pairs_ref, amat_ref, xy_ref, src_ref, out_ref,
 _VALID_ROWS = 16
 
 
+def _backend() -> str:
+    """Indirection over ``jax.default_backend()`` so tests can exercise
+    the TPU fence logic from a CPU-only suite."""
+    return jax.default_backend()
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -752,22 +758,40 @@ def knn_observation(
             interpret=interpret, variant=variant, raw_out=raw_out,
         )
     if variant.startswith("envlanes"):
-        if not interpret and jax.default_backend() not in ("cpu",):
-            # Measured round 4 (artifacts/round4/ROUND4_NOTES.md, probes
-            # v8a-v8n): the v8 kernel compiles and block_until_ready
-            # returns, but its OUTPUT BUFFER poisons the device — any
-            # on-device consumer (reduce, matmul, scan step) or host
-            # fetch of it wedges the chip forever (futex-wait client,
-            # ~0 CPU), with static stores and without the partial tail
-            # stores too.  The wedge class is the kernel's 3-D
-            # middle-axis (sublane) reductions with a leading observer
-            # dim — a Mosaic codegen gap on this toolchain, not a
-            # semantics bug (interpret mode is oracle-bit-exact).
-            raise NotImplementedError(
-                "envlanes kernels wedge the TPU at runtime on the "
-                "current Mosaic toolchain (see ROUND4_NOTES.md); they "
-                "are available in interpret mode only"
-            )
+        if not interpret:
+            if _backend() == "cpu":
+                # compiled-mode pallas_call on CPU would die in lowering
+                # with an obscure error — force the interpreter, which
+                # is the supported CPU execution mode for this kernel
+                interpret = True
+            else:
+                # Measured round 4 (artifacts/round4/r4_envlanes_wedge.md,
+                # probes v8a-v8n): the v8 kernel compiles and
+                # block_until_ready returns, but its OUTPUT BUFFER poisons
+                # the device — any on-device consumer (reduce, matmul,
+                # scan step) or host fetch of it wedges the chip forever
+                # (futex-wait client, ~0 CPU), with static stores and
+                # without the partial tail stores too.  The wedge class is
+                # the kernel's 3-D middle-axis (sublane) reductions with a
+                # leading observer dim — a Mosaic codegen gap, not a
+                # semantics bug (interpret mode is oracle-bit-exact).
+                # REFERENCE IMPLEMENTATION: do not run on TPU until a
+                # Mosaic release passes the wedge-class capability probe.
+                from warpdrive_tpu.ops.envlanes_probe import (
+                    cached_verdict,
+                    toolchain_key,
+                )
+
+                if cached_verdict() is not True:
+                    raise NotImplementedError(
+                        "envlanes kernels wedge the TPU at runtime on "
+                        f"Mosaic toolchain {toolchain_key()} (3-D "
+                        "middle-axis reduction wedge class; bisection in "
+                        "artifacts/round4/r4_envlanes_wedge.md). They run "
+                        "in interpret mode only. If the toolchain was "
+                        "upgraded, re-run the capability probe on a FREE "
+                        "chip: python -m warpdrive_tpu.ops.envlanes_probe"
+                    )
         return _knn_observation_envlanes(
             loc_x, loc_y, feats, types_f, still_f, t_norm,
             n_agents=n_agents, k=k, interpret=interpret, variant=variant,

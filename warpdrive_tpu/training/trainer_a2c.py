@@ -559,7 +559,10 @@ class TrainerA2C(TrainerBase):
                         # along it would cross shard boundaries — keep
                         # the time-major path there
                         and getattr(self.engine, "mesh", None) is None
-                        # escape hatch for A/Bs and the parity test
+                        # escape hatch for A/Bs and the parity test.
+                        # BUILD-TIME ONLY: read once while tracing the
+                        # update program — toggling the env var after
+                        # the trainer is constructed has no effect
                         and not _os.environ.get("WD_NO_ENV_MAJOR")
                     )
                     if env_major:
@@ -630,7 +633,8 @@ class TrainerA2C(TrainerBase):
                             logits_list = [
                                 jnp.moveaxis(lg, 0, 1) for lg in logits_list
                             ]
-                            values = jnp.moveaxis(values, 0, 1)
+                            if values is not None:
+                                values = jnp.moveaxis(values, 0, 1)
                         return algo.compute_loss_and_metrics(
                             timestep,
                             act_mb,

@@ -393,12 +393,16 @@ class TrainerBase:
             # per-step gathers run at ~17-76 GB/s on TPU): a policy
             # owning ALL agents needs no gather at all, and a policy
             # whose agent ids are one contiguous run is a static slice
+            # NOTE: the contiguous-run fast path below assumes ids are
+            # sorted ascending; unsorted ids correctly (if less
+            # efficiently) fall through to the one-hot contraction,
+            # which preserves the id order
             ids_arr = np.asarray(ids)
             if len(ids_arr) == eng.n_agents and np.array_equal(
                 ids_arr, np.arange(eng.n_agents)
             ):
                 take = lambda x: x
-            elif np.array_equal(
+            elif len(ids_arr) > 0 and np.array_equal(
                 ids_arr,
                 np.arange(ids_arr[0], ids_arr[0] + len(ids_arr)),
             ):
