@@ -30,9 +30,13 @@ import numpy as np
 BASELINE_ENV_STEPS_PER_S = 1.0e7
 
 
-def rollout_rate(step_fn, state, n_steps: int, num_envs: int, key,
-                 params=None, repeats: int = 3) -> float:
-    """Time a jitted n-step scan of ``step_fn``; return env-steps/s."""
+def rollout_rate_stats(step_fn, state, n_steps: int, num_envs: int, key,
+                       params=None, repeats: int = 3) -> dict:
+    """Time a jitted n-step scan of ``step_fn``; return env-steps/s
+    dispersion stats over ``repeats`` fresh-key executions:
+    ``{"value": median, "min": , "max": , "n": }`` (VERDICT r4 next #3 —
+    single-draw numbers were being compared inside a +-10-25% noise
+    band)."""
 
     if params is None:
         def scan_fn(st, k):
@@ -56,7 +60,7 @@ def rollout_rate(step_fn, state, n_steps: int, num_envs: int, key,
     state = jitted(*args(state, sub))
     np.asarray(jax.tree_util.tree_leaves(state)[0]).ravel()[:1]
 
-    best = 0.0
+    rates = []
     for _ in range(repeats):
         key, sub = jax.random.split(key)
         t0 = time.perf_counter()
@@ -64,8 +68,46 @@ def rollout_rate(step_fn, state, n_steps: int, num_envs: int, key,
         # value fetch per repeat (same rationale as the warmup fetch)
         np.asarray(jax.tree_util.tree_leaves(state)[0]).ravel()[:1]
         dt = time.perf_counter() - t0
-        best = max(best, n_steps * num_envs / dt)
-    return best
+        rates.append(n_steps * num_envs / dt)
+    return {
+        "value": float(np.median(rates)),
+        "min": float(min(rates)),
+        "max": float(max(rates)),
+        "n": len(rates),
+    }
+
+
+def rollout_rate(step_fn, state, n_steps: int, num_envs: int, key,
+                 params=None, repeats: int = 3) -> float:
+    """Best-of-repeats env-steps/s (the A/B-harness metric: best-of is
+    the right comparator for code variants; the bench stages report
+    median + spread via :func:`rollout_rate_stats`)."""
+    return rollout_rate_stats(
+        step_fn, state, n_steps, num_envs, key, params=params,
+        repeats=repeats,
+    )["max"]
+
+
+def _disp(stats: dict) -> dict:
+    """Dispersion fields for a bench JSON line from rollout_rate_stats
+    output (value = MEDIAN of fresh-key repeats)."""
+    return {
+        "value": round(stats["value"]),
+        "min": round(stats["min"]),
+        "max": round(stats["max"]),
+        "n": stats["n"],
+    }
+
+
+def _prof_disp(prof: dict) -> dict:
+    """Dispersion fields from ``profile_phases`` per-repeat lists."""
+    reps = prof.get("steps_per_sec_repeats") or [prof["steps_per_sec"]]
+    return {
+        "value": round(float(np.median(reps))),
+        "min": round(min(reps)),
+        "max": round(max(reps)),
+        "n": len(reps),
+    }
 
 
 def _emit_error(stage: str, exc: Exception):
@@ -119,11 +161,13 @@ def main():
             _emit_error("device_init_cpu_fallback", exc2)
             sys.exit(1)
     on_tpu = platform == "tpu"
-    # 2000 replicas: BASELINE.json says "1000+ replicas" (1000 is the
-    # floor, not the cap) and the round-4 E-sweep of the EXACT Mosaic
-    # kernel (artifacts/round4/r4_ab1b_results.jsonl) peaks at E=2000:
-    # 1063K vs 1006K @1000, 1026K @4000, 1039K @8000 env-steps/s.
-    num_envs = 2000 if on_tpu else 32
+    # 1000 replicas (the BASELINE.json "1000+ replicas" floor): the
+    # round-5 E-sweep of the v9 EXACT flat kernel at its B=4 optimum
+    # (artifacts/round5/r5_ab5/ab6) peaks at E=1000 — 1203K vs 1134K
+    # @2000, 974K @4000 env-steps/s (5-repeat medians, spread <1%).
+    # Known hazard: E=1500 is pathologically slow (732K, reproducible,
+    # r5_ab6) — keep env counts at powers of two times 1000.
+    num_envs = 1000 if on_tpu else 32
     n_steps = 500 if on_tpu else 20
 
     try:
@@ -132,65 +176,55 @@ def main():
         key = jax.random.PRNGKey(42)
         print("[bench] compiling + timing env-only rollout...", file=sys.stderr, flush=True)
 
-        env_rate = rollout_rate(
+        env_stats = rollout_rate_stats(
             sys_["env_only_step"],
             (sys_["state"], jnp.zeros(())),
             n_steps,
             num_envs,
             key,
+            repeats=5 if on_tpu else 3,
         )
+        env_rate = env_stats["value"]
     except Exception as exc:
         _emit_error("measure", exc)
         sys.exit(1)
     # emit the headline JSON line IMMEDIATELY so a timeout during the
     # (optional) full-loop measurement cannot lose the result
-    print(
-        json.dumps(
-            {
-                "metric": "tag_continuous_env_steps_per_sec",
-                "value": round(env_rate),
-                "unit": "env_steps/s",
-                "vs_baseline": round(env_rate / BASELINE_ENV_STEPS_PER_S, 4),
-                "num_envs": num_envs,
-                "num_agents": sys_["num_agents"],
-                # presets default: the fused Mosaic kNN kernel in exact-tie
-                # mode — 0/67,200 slot deviations vs the numpy reference on
-                # a rolled on-chip state (artifacts/round3/r3_ab7); the
-                # consistency oracle passes on this exact config
-                # (tests/test_consistency_flagship_bench_config.py)
-                "knn_algorithm": sys_["env"].knn_algorithm,
-                "platform": platform,
-            }
-        ),
-        flush=True,
-    )
-    print(
-        f"[bench] platform={platform} envs={num_envs} agents={sys_['num_agents']} "
-        f"steps/scan={n_steps}\n"
-        f"[bench] env-only (random actions + obs + reset): "
-        f"{env_rate:,.0f} env-steps/s",
-        file=sys.stderr,
-        flush=True,
-    )
     headline = {
         "metric": "tag_continuous_env_steps_per_sec",
-        "value": round(env_rate),
+        **_disp(env_stats),
         "unit": "env_steps/s",
         "vs_baseline": round(env_rate / BASELINE_ENV_STEPS_PER_S, 4),
         "num_envs": num_envs,
         "num_agents": sys_["num_agents"],
+        # presets default: the fused Mosaic kNN kernel in exact-tie
+        # mode — 0/67,200 slot deviations vs the numpy reference on
+        # a rolled on-chip state (artifacts/round3/r3_ab7); the
+        # consistency oracle passes on this exact config
+        # (tests/test_consistency_flagship_bench_config.py)
         "knn_algorithm": sys_["env"].knn_algorithm,
         "platform": platform,
     }
+    print(json.dumps(headline), flush=True)
+    print(
+        f"[bench] platform={platform} envs={num_envs} agents={sys_['num_agents']} "
+        f"steps/scan={n_steps}\n"
+        f"[bench] env-only (random actions + obs + reset): "
+        f"{env_rate:,.0f} env-steps/s "
+        f"[{env_stats['min']:,.0f}..{env_stats['max']:,.0f}, "
+        f"n={env_stats['n']}]",
+        file=sys.stderr,
+        flush=True,
+    )
     print("[bench] compiling + timing full loop...", file=sys.stderr, flush=True)
     try:
-        full_rate = rollout_rate(
+        full_stats = rollout_rate_stats(
             sys_["full_loop_step"], sys_["state"], n_steps, num_envs, key,
-            params=sys_["params"],
+            params=sys_["params"], repeats=5 if on_tpu else 3,
         )
         print(
             f"[bench] full loop (policy+sample+step+reset): "
-            f"{full_rate:,.0f} env-steps/s",
+            f"{full_stats['value']:,.0f} env-steps/s",
             file=sys.stderr,
             flush=True,
         )
@@ -198,10 +232,10 @@ def main():
             json.dumps(
                 {
                     "metric": "tag_continuous_full_loop_env_steps_per_sec",
-                    "value": round(full_rate),
+                    **_disp(full_stats),
                     "unit": "env_steps/s",
                     "vs_baseline": round(
-                        full_rate / BASELINE_ENV_STEPS_PER_S, 4
+                        full_stats["value"] / BASELINE_ENV_STEPS_PER_S, 4
                     ),
                     "platform": platform,
                 }
@@ -211,35 +245,36 @@ def main():
     except Exception as exc:
         print(f"[bench] full-loop stage failed: {exc}", file=sys.stderr, flush=True)
 
-    # fast flagship variant: the multi-tile Mosaic kernel with the
+    # fast flagship variant: the flat-emit Mosaic kernel with the
     # candidate index packed into low mantissa bits (ONE integer min per
-    # slot instead of the exact two-phase min) — the round-4 variant
-    # sweep's winner (artifacts/round4/r4_ab1_results.jsonl: pallas_tiled
-    # 1310K vs pallas_mxu 1251K @E=1000/B=2; E=2000 1218K), at the price
-    # of index tie-breaks for distances within relative 2^-16 (measured
-    # 0-2 of 67,200 slots deviate on rolled states; artifacts/round3).
+    # slot instead of the exact 5-op tie-break) — the round-5 sweep
+    # winner (artifacts/round5/r5_ab4..ab6: pallas_flat 1463K median
+    # @E=1000/B=4 vs pallas_tiled 1214K @B=2), at the price of index
+    # tie-breaks for distances within relative 2^-16 (measured 0-2 of
+    # 67,200 slots deviate on rolled states; artifacts/round3).
     # Clearly labeled: the HEADLINE above is the oracle-exact config.
     fast_envs = 1000 if on_tpu else 32
     try:
         print("[bench] compiling + timing fast (packed-tie) variant...",
               file=sys.stderr, flush=True)
         sys_fast = build_flagship(num_envs=fast_envs, fc_dims=(256, 256),
-                                  seed=0, knn_algorithm="pallas_tiled")
-        fast_rate = rollout_rate(
+                                  seed=0, knn_algorithm="pallas_flat")
+        fast_stats = rollout_rate_stats(
             sys_fast["env_only_step"],
             (sys_fast["state"], jnp.zeros(())),
             n_steps,
             fast_envs,
             key,
+            repeats=5 if on_tpu else 3,
         )
         print(
             json.dumps(
                 {
                     "metric": "tag_continuous_env_steps_per_sec_fast",
-                    "value": round(fast_rate),
+                    **_disp(fast_stats),
                     "unit": "env_steps/s",
                     "vs_baseline": round(
-                        fast_rate / BASELINE_ENV_STEPS_PER_S, 4
+                        fast_stats["value"] / BASELINE_ENV_STEPS_PER_S, 4
                     ),
                     "num_envs": fast_envs,
                     "knn_algorithm": sys_fast["env"].knn_algorithm,
@@ -249,7 +284,8 @@ def main():
             ),
             flush=True,
         )
-        print(f"[bench] fast variant env-only: {fast_rate:,.0f} env-steps/s",
+        print(f"[bench] fast variant env-only: "
+              f"{fast_stats['value']:,.0f} env-steps/s",
               file=sys.stderr, flush=True)
     except Exception as exc:
         print(f"[bench] fast-variant stage failed: {exc}",
@@ -304,14 +340,15 @@ def main():
         }
         trainer = TrainerA2C(env_wrapper=engine, config=cfg, verbose=False)
         prof = trainer.profile_phases(repeats=3)
+        gdisp = _prof_disp(prof)
         print(
             json.dumps(
                 {
                     "metric": "tag_gridworld_training_env_steps_per_sec",
-                    "value": round(prof["steps_per_sec"]),
+                    **gdisp,
                     "unit": "env_steps/s",
                     "vs_baseline": round(
-                        prof["steps_per_sec"] / BASELINE_ENV_STEPS_PER_S, 4
+                        gdisp["value"] / BASELINE_ENV_STEPS_PER_S, 4
                     ),
                     "rollout_ms": round(prof["rollout_ms"], 2),
                     "update_ms": round(prof["update_ms"], 2),
@@ -365,14 +402,16 @@ def main():
             checksum = checksum + state[_C.OBSERVATIONS].sum()
             return gengine.auto_reset(state, k_reset), checksum
 
-        g_rate = rollout_rate(
-            g_env_step, (g_state, jnp.zeros(())), n_steps, ge_envs, key
+        g_stats = rollout_rate_stats(
+            g_env_step, (g_state, jnp.zeros(())), n_steps, ge_envs, key,
+            repeats=5 if on_tpu else 3,
         )
+        g_rate = g_stats["value"]
         print(
             json.dumps(
                 {
                     "metric": "tag_gridworld_env_steps_per_sec",
-                    "value": round(g_rate),
+                    **_disp(g_stats),
                     "unit": "env_steps/s",
                     "vs_baseline": round(g_rate / BASELINE_ENV_STEPS_PER_S, 4),
                     "num_envs": ge_envs,
@@ -416,14 +455,16 @@ def main():
             checksum = checksum + state[_C.OBSERVATIONS].sum()
             return cengine.auto_reset(state, k_reset), checksum
 
-        c_rate = rollout_rate(
-            c_env_step, (c_state, jnp.zeros(())), c_steps, c_envs, key
+        c_stats = rollout_rate_stats(
+            c_env_step, (c_state, jnp.zeros(())), c_steps, c_envs, key,
+            repeats=5 if on_tpu else 3,
         )
+        c_rate = c_stats["value"]
         print(
             json.dumps(
                 {
                     "metric": "cartpole_100k_env_steps_per_sec",
-                    "value": round(c_rate),
+                    **_disp(c_stats),
                     "unit": "env_steps/s",
                     "vs_baseline": round(c_rate / BASELINE_ENV_STEPS_PER_S, 4),
                     "num_envs": c_envs,
@@ -482,14 +523,15 @@ def main():
             st = aengine.step_physics(st, actions)
             return aengine.auto_reset(st, k_reset), checksum
 
-        a_rate = rollout_rate(
+        a_stats = rollout_rate_stats(
             a_env_step, (a_state, jnp.zeros(())), a_steps, a_envs, key
         )
+        a_rate = a_stats["value"]
         print(
             json.dumps(
                 {
                     "metric": "tag_continuous_1024_agents_env_steps_per_sec",
-                    "value": round(a_rate),
+                    **_disp(a_stats),
                     "unit": "env_steps/s",
                     "vs_baseline": round(a_rate / BASELINE_ENV_STEPS_PER_S, 4),
                     "num_envs": a_envs,
@@ -534,14 +576,15 @@ def main():
                           "tag": "t"}
         dtrainer = setup_trainer(dcfg, verbose=False)
         dprof = dtrainer.profile_phases(repeats=3)
+        ddisp = _prof_disp(dprof)
         print(
             json.dumps(
                 {
                     "metric": "pendulum_ddpg_training_env_steps_per_sec",
-                    "value": round(dprof["steps_per_sec"]),
+                    **ddisp,
                     "unit": "env_steps/s",
                     "vs_baseline": round(
-                        dprof["steps_per_sec"] / BASELINE_ENV_STEPS_PER_S, 4
+                        ddisp["value"] / BASELINE_ENV_STEPS_PER_S, 4
                     ),
                     "rollout_ms": round(dprof["rollout_ms"], 2),
                     "update_ms": round(dprof["update_ms"], 2),
@@ -600,15 +643,16 @@ def main():
         ftrainer = _TA2C(env_wrapper=fengine, config=fcfg,
                          policy_tag_to_agent_id_map=pmap, verbose=False)
         fprof = ftrainer.profile_phases(repeats=3)
+        fdisp = _prof_disp(fprof)
         print(
             json.dumps(
                 {
                     "metric":
                         "tag_continuous_training_env_steps_per_sec",
-                    "value": round(fprof["steps_per_sec"]),
+                    **fdisp,
                     "unit": "env_steps/s",
                     "vs_baseline": round(
-                        fprof["steps_per_sec"] / BASELINE_ENV_STEPS_PER_S, 4
+                        fdisp["value"] / BASELINE_ENV_STEPS_PER_S, 4
                     ),
                     "rollout_ms": round(fprof["rollout_ms"], 2),
                     "update_ms": round(fprof["update_ms"], 2),
@@ -678,15 +722,16 @@ def main():
         ftr2 = _TA2C(env_wrapper=fengine2, config=fcfg2,
                      policy_tag_to_agent_id_map=pmap2, verbose=False)
         fprof2 = ftr2.profile_phases(repeats=3)
+        fdisp2 = _prof_disp(fprof2)
         print(
             json.dumps(
                 {
                     "metric":
                         "tag_continuous_training_tuned_env_steps_per_sec",
-                    "value": round(fprof2["steps_per_sec"]),
+                    **fdisp2,
                     "unit": "env_steps/s",
                     "vs_baseline": round(
-                        fprof2["steps_per_sec"] / BASELINE_ENV_STEPS_PER_S, 4
+                        fdisp2["value"] / BASELINE_ENV_STEPS_PER_S, 4
                     ),
                     "rollout_ms": round(fprof2["rollout_ms"], 2),
                     "update_ms": round(fprof2["update_ms"], 2),

@@ -59,6 +59,13 @@ def test_flagship_bench_config_passes_oracle():
             "bench_flagship_tiled": dict(
                 cfg, knn_algorithm="pallas_tiled_exact"
             ),
+            # the round-5 flat-emit kernel in its oracle-exact mode
+            # (same selection semantics as tiled_exact: VPU
+            # difference-form distances + lowest-index tie-breaks, with
+            # masking-as-arithmetic and the flat slot-major emit)
+            "bench_flagship_flat": dict(
+                cfg, knn_algorithm="pallas_flat_exact"
+            ),
         },
         num_envs=2,
         num_episodes=2,

@@ -51,6 +51,7 @@ def _build_state(env, num_envs, seed):
     "variant",
     ["packed", "onehot", "mxu", "mxu_exact", "twolevel", "twolevel_exact",
      "tiled", "tiled_exact", "tiled_mxudist", "tiled_mxudist_exact",
+     "flat", "flat_exact", "flat_mxudist", "flat_mxudist_exact",
      "envlanes", "envlanes_exact"],
 )
 @pytest.mark.parametrize("num_agents,k", [(15, 4), (105, 10)])
@@ -102,7 +103,7 @@ def test_kernel_matches_pure_jax_observe(num_agents, k, variant):
         close = np.isclose(np.asarray(out), np.asarray(ref), atol=8e-6)
         frac_bad = 1.0 - close.mean()
         assert frac_bad < 2e-3, f"too many selection swaps: {frac_bad:.4%}"
-    elif variant.startswith(("mxu", "twolevel", "tiled")):
+    elif variant.startswith(("mxu", "twolevel", "tiled", "flat")):
         # mxu reconstructs neighbor features from a bf16 hi/lo pair
         # (knn_obs.py v3): hi+lo is exact to the lo-residual rounding,
         # ~2^-17 relative of O(1) normalized features => ~4e-6 absolute.
@@ -322,7 +323,8 @@ def test_pallas_beyond_lane_limit_routing():
         )
 
 
-@pytest.mark.parametrize("variant", ["tiled", "tiled_exact"])
+@pytest.mark.parametrize("variant", ["tiled", "tiled_exact",
+                                     "flat", "flat_exact"])
 @pytest.mark.parametrize("num_agents,k", [(200, 6), (300, 10)])
 def test_tiled_kernel_multi_tile_agents(num_agents, k, variant):
     """The v7 tiled kernel handles >128 agents (multiple observer lane
@@ -364,7 +366,7 @@ def test_tiled_kernel_multi_tile_agents(num_agents, k, variant):
         variant=variant,
     )
     assert out.shape == ref.shape
-    if variant == "tiled":
+    if variant in ("tiled", "flat"):
         # packed-index ties: the tie window is 2^-(23 - ceil(log2 SUBn))
         # relative — coarser at 300 agents (2^-14) than at 105 (2^-16);
         # rare near-tie slot swaps are the documented class
@@ -375,6 +377,59 @@ def test_tiled_kernel_multi_tile_agents(num_agents, k, variant):
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), atol=8e-6
         )
+
+
+@pytest.mark.parametrize("num_agents,k,num_envs", [(105, 10, 6), (200, 6, 3)])
+def test_flat_raw_layout_roundtrip(num_agents, k, num_envs):
+    """The v9 flat raw layout (``raw_out=True``) carries exactly the
+    contract observation: ``flat_obs_to_contract`` must reproduce the
+    ``raw_out=False`` output bit-for-bit, and the layout must place
+    channel c of slot s for agent i at ``[c, (tile*(k+1)+s)*LANE + i]``
+    (the contract consumers like the policy's first matmul rely on)."""
+    from warpdrive_tpu.ops.knn_obs import LANE, flat_obs_to_contract
+
+    env = TpuTagContinuous(
+        num_taggers=max(2, num_agents // 5),
+        num_runners=num_agents - max(2, num_agents // 5),
+        grid_length=20.0,
+        episode_length=100,
+        use_full_observation=False,
+        num_other_agents_observed=k,
+    )
+    state = _build_state(env, num_envs, seed=7)
+    feats = jnp.stack(
+        [
+            state["loc_x"] / env.grid_diagonal,
+            state["loc_y"] / env.grid_diagonal,
+            state["speed"] / (env.max_speed + np.float32(1e-10)),
+            state["acceleration"] / (env.max_speed + np.float32(1e-10)),
+            state["direction"] / np.float32(2 * np.pi),
+        ],
+        axis=1,
+    )
+    args = (
+        state["loc_x"], state["loc_y"], feats,
+        jnp.asarray(env.agent_types, dtype=jnp.float32),
+        state["still_in_the_game"].astype(jnp.float32),
+        (state[Constants.TIMESTEP] / env.episode_length).astype(jnp.float32),
+    )
+    kw = dict(n_agents=env.num_agents, k=k, interpret=True,
+              variant="flat_exact")
+    contract = knn_observation(*args, **kw)
+    raw = knn_observation(*args, raw_out=True, **kw)
+    NT = (env.num_agents + LANE - 1) // LANE
+    assert raw.shape == (num_envs, 8, NT * (k + 1) * LANE)
+    np.testing.assert_array_equal(
+        np.asarray(flat_obs_to_contract(raw, env.num_agents, k)),
+        np.asarray(contract),
+    )
+    # spot-check the documented flat addressing directly
+    i, s, c = min(100, env.num_agents - 1), k - 1, 3
+    t, il = divmod(i, LANE)
+    np.testing.assert_array_equal(
+        np.asarray(raw[:, c, (t * (k + 1) + s) * LANE + il]),
+        np.asarray(contract[:, i, s * 8 + c]),
+    )
 
 
 def test_tiled_observe_batch_wiring_150_agents():

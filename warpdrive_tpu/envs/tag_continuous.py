@@ -151,12 +151,22 @@ class TagContinuous:
         #             (no MXU selection is possible per-lane).  Any
         #             agent count; the _exact variant is oracle-BIT-
         #             exact (f32 select, no bf16 pair rounding).
+        #             "pallas_flat[_exact]" / "pallas_flat_mxudist[_exact]"
+        #             (round 5, knn_obs.py v9) keep the v7 selection
+        #             semantics but emit a FLAT slot-major layout
+        #             (channel-sublane, slot*LANE+agent lanes), with the
+        #             invalid-candidate masking folded into two adds and
+        #             the per-slot valid bookkeeping replaced by one
+        #             pre-ladder count — the round-5 throughput default
+        #             for the flagship class (A/B: artifacts/round5).
         assert knn_algorithm in (
             "passes", "topk", "ladder", "packed", "approx",
             "pallas", "pallas_mxu", "pallas_mxu_exact", "pallas_onehot",
             "pallas_twolevel", "pallas_twolevel_exact",
             "pallas_tiled", "pallas_tiled_exact",
             "pallas_mxudist", "pallas_mxudist_exact",
+            "pallas_flat", "pallas_flat_exact",
+            "pallas_flat_mxudist", "pallas_flat_mxudist_exact",
             "pallas_envlanes", "pallas_envlanes_exact",
         )
         # knn_select picks how neighbor features are pulled once the slot
@@ -192,7 +202,8 @@ class TagContinuous:
                 }[knn_algorithm]
                 self.knn_algorithm = knn_algorithm
             elif not knn_algorithm.startswith(
-                ("pallas_tiled", "pallas_mxudist", "pallas_envlanes")
+                ("pallas_tiled", "pallas_mxudist", "pallas_flat",
+                 "pallas_envlanes")
             ):
                 raise ValueError(
                     f"knn_algorithm={knn_algorithm!r} (a single-tile Mosaic "
@@ -662,6 +673,10 @@ class TpuTagContinuous(TagContinuous, TpuEnvironmentContext):
             "pallas_tiled_exact": "tiled_exact",
             "pallas_mxudist": "tiled_mxudist",
             "pallas_mxudist_exact": "tiled_mxudist_exact",
+            "pallas_flat": "flat",
+            "pallas_flat_exact": "flat_exact",
+            "pallas_flat_mxudist": "flat_mxudist",
+            "pallas_flat_mxudist_exact": "flat_mxudist_exact",
             "pallas_envlanes": "envlanes",
             "pallas_envlanes_exact": "envlanes_exact",
         }[self.knn_algorithm]
@@ -677,6 +692,9 @@ class TpuTagContinuous(TagContinuous, TpuEnvironmentContext):
             block_envs=self.knn_block_envs,
             interpret=interpret,
             variant=variant,
+            # flat-kernel grid-dimension-semantics experiment knob
+            # (read at trace time; see knn_obs._knn_observation_flat)
+            dimsem=getattr(self, "knn_flat_dimsem", ""),
         )
 
     def observe_fn(self, state: dict) -> jnp.ndarray:

@@ -708,6 +708,168 @@ def _v7_body(cand_ref, pairs_ref, amat_ref, xy_ref, src_ref, out_ref,
         out_ref[:, 8 * k + 1 :, :] = jnp.zeros((B, pad_rows, LANE), jnp.float32)
 
 
+def _knn_obs_kernel_v9(cand_ref, pairs_ref, selfmask_ref, xy_ref, src_ref,
+                       out_ref, acc_ref, *, n_agents: int, k: int,
+                       exact: bool):
+    """VPU-distance flat-emit positional adapter (v9)."""
+    _v9_body(cand_ref, pairs_ref, selfmask_ref, None, None, xy_ref, src_ref,
+             out_ref, acc_ref, n_agents=n_agents, k=k, exact=exact,
+             dist_mxu=False)
+
+
+def _knn_obs_kernel_v9_mxu(cand_ref, pairs_ref, selfmask_ref, amat_ref,
+                           bmat_ref, xy_ref, src_ref, out_ref, acc_ref, *,
+                           n_agents: int, k: int, exact: bool):
+    """MXU-distance flat-emit positional adapter (v9, hoisted i-side
+    expansion operand ``bmat_ref``)."""
+    _v9_body(cand_ref, pairs_ref, selfmask_ref, amat_ref, bmat_ref, xy_ref,
+             src_ref, out_ref, acc_ref, n_agents=n_agents, k=k, exact=exact,
+             dist_mxu=True)
+
+
+def _v9_body(cand_ref, pairs_ref, selfmask_ref, amat_ref, bmat_ref, xy_ref,
+             src_ref, out_ref, acc_ref, *, n_agents: int, k: int,
+             exact: bool, dist_mxu: bool):
+    """Flat-emit multi-tile kernel (round 5): v7 with the three
+    VPU-cost reductions the r3_ab5/r4 decompositions pointed at
+    (VERDICT r4 next #1):
+
+    * **masking as arithmetic** — the candidate-invalid test (self /
+      dead / padding) is two ADDS, ``d2 + selfmask + BIG*(1-still_j)``,
+      instead of v7's iota-compare/or/where chain (~6 full-matrix
+      passes).  Valid entries gain exactly ``+0.0`` so the exact class
+      is unchanged; invalid entries land >= 1e20 > ``_VALID_MAX`` and
+      keep the int32 bitcast order-isomorphic (all finite, positive).
+      ``selfmask`` is a precomputed (SUBn, NP) f32 input with ``_BIG``
+      on the global diagonal (covers self-exclusion); zero-padded
+      candidates have still=0 so the dead term covers padding too.
+    * **gate from a pre-ladder count** — slot s of observer i is valid
+      iff i has more than s valid candidates, so ONE pre-ladder count
+      ``n_valid = sum_j(d2i < VALID_MAX)`` replaces v7's per-slot
+      valid-row bookkeeping, and the per-slot gate is a single compare
+      against the lane-block slot index at emit time.
+    * **flat emit layout** — the output block is ``(B, 8, (k+1)*LANE)``:
+      channel c of neighbor-slot s for observer lane i sits at
+      ``[c, s*LANE + i]`` (the t-norm row is lane-block k, channel 0).
+      This matches the selection matmul's natural ``(B, 12, k*LANE)``
+      output layout, so the whole emit is ~8 full-width block ops
+      (reconstruct, subtract-own, gate, 4 stores) instead of v7's ~14
+      tiny sliced ops per slot — and a consumer that contracts the
+      channel/slot axes directly (the policy's first matmul) never pays
+      the (E, N, F) transpose.
+
+    Refs:
+      cand_ref:     (B, SUBn, 8) f32 — candidate rows [x, y, still, 0..]
+      pairs_ref:    (B, 16, SUBn) bf16 — rows 0..5 hi feats, 6..11 lo
+                    feats, 12..15 zero (sublane-tile padding)
+      selfmask_ref: (SUBn, LANE) f32 — this i-tile's slice of the
+                    BIG-diagonal self-exclusion mask
+      amat_ref:     (B, SUBn, 12) bf16 (dist_mxu) — candidate-side
+                    distance-expansion operand (see ``_v7_body``)
+      bmat_ref:     (B, 12, LANE) bf16 (dist_mxu) — THIS i-tile's
+                    observer-side expansion operand, HOISTED to XLA
+                    (v7 built it in-kernel; r4_ab1 measured the freed
+                    VPU time backfilled by exactly this prep)
+      xy_ref:       (B, 2, LANE) f32 — this i-tile's raw [x, y]
+      src_ref:      (B, 8, LANE) f32 — this i-tile's channels
+      out_ref:      (B, 8, (k+1)*LANE) f32 — flat obs block
+      acc_ref:      (B, SUBn, k*LANE) bf16 scratch — slot one-hots
+    """
+    B = xy_ref.shape[0]
+    SUBn = cand_ref.shape[1]
+    row_j = jax.lax.broadcasted_iota(jnp.int32, (B, SUBn, LANE), 1)
+
+    src = src_ref[:]  # (B, 8, LANE)
+    alive_row = (src[:, 6:7, :] >= 0.5).astype(jnp.float32)  # (B, 1, LANE)
+
+    still_sub = cand_ref[:, :, 2:3]  # (B, SUBn, 1)
+    dead_big = (1.0 - still_sub) * _BIG  # (B, SUBn, 1): 0 when alive
+    maskmat = selfmask_ref[:][None, :, :] + dead_big  # (B, SUBn, LANE)
+
+    if dist_mxu:
+        d2 = jax.lax.dot_general(
+            amat_ref[:], bmat_ref[:],
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (B, SUBn, LANE)
+        d2 = jnp.maximum(d2, 0.0) + maskmat
+    else:
+        # exact difference-form build — bit-identical to the numpy
+        # reference's dx*dx + dy*dy on raw f32 coordinates (+0.0)
+        x = xy_ref[:, 0, :]
+        y = xy_ref[:, 1, :]
+        dx = cand_ref[:, :, 0:1] - x[:, None, :]
+        dy = cand_ref[:, :, 1:2] - y[:, None, :]
+        d2 = dx * dx + dy * dy + maskmat
+
+    if exact:
+        d2i = pltpu.bitcast(d2, jnp.int32)
+        big_packed = np.int32(np.float32(_BIG).view(np.int32))
+    else:
+        idx_bits = max((SUBn - 1).bit_length(), 1)
+        clear = np.int32(~((1 << idx_bits) - 1))
+        d2i = jnp.bitwise_or(
+            jnp.bitwise_and(pltpu.bitcast(d2, jnp.int32), clear), row_j
+        )
+        big_packed = np.int32(np.float32(_BIG).view(np.int32) & clear)
+
+    # pre-ladder valid-candidate count per observer (gate source)
+    n_valid = jnp.sum(
+        (d2i < _VALID_MAX).astype(jnp.int32), axis=1, keepdims=True
+    )  # (B, 1, LANE)
+
+    def slot_body(slot, d2i):
+        m2 = jnp.min(d2i, axis=1, keepdims=True)  # (B, 1, LANE_i)
+        if exact:
+            # lowest-index tie-break in 5 full-matrix ops: the masked
+            # index tensor t doubles as the one-hot test (t == mi hits
+            # exactly the lowest min-attaining index: non-attainers hold
+            # SUBn != mi, attainers hold their own row_j)
+            t = jnp.where(d2i == m2, row_j, SUBn)
+            mi = jnp.min(t, axis=1, keepdims=True)
+            eq = t == mi
+        else:
+            eq = d2i == m2  # packed entries unique => one-hot
+        acc_ref[:, :, pl.ds(pl.multiple_of(slot * LANE, LANE), LANE)] = (
+            eq.astype(jnp.bfloat16)
+        )
+        return jnp.where(eq, big_packed, d2i)
+
+    jax.lax.fori_loop(0, k, slot_body, d2i)
+
+    sel = jax.lax.dot_general(
+        pairs_ref[:],
+        acc_ref[:],
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (B, 16, k*LANE) f32 (rows 12..15 are zero)
+
+    kL = k * LANE
+    # slot index of each flat lane: lane // LANE (LANE is a power of 2)
+    slot_of_lane = jax.lax.shift_right_logical(
+        jax.lax.broadcasted_iota(jnp.int32, (B, 1, kL), 2),
+        LANE.bit_length() - 1,
+    )
+
+    def tile_k(a):  # (B, r, LANE) -> (B, r, k*LANE) compile-time concat
+        return jnp.concatenate([a] * k, axis=2)
+
+    gate = jnp.where(
+        tile_k(n_valid) > slot_of_lane, 1.0, 0.0
+    ) * tile_k(alive_row)  # (B, 1, kL)
+
+    nbr6 = sel[:, 0:6, :] + sel[:, 6:12, :]  # exact f32 reconstruction
+    own6 = jnp.concatenate(
+        [src[:, 0:5, :], jnp.zeros((B, 1, LANE), jnp.float32)], axis=1
+    )  # type channel (row 5) is emitted un-subtracted
+    rows6 = (nbr6 - tile_k(own6)) * gate
+    out_ref[:, 0:6, 0:kL] = rows6
+    out_ref[:, 6:8, 0:kL] = jnp.concatenate([gate, gate], axis=1)
+    t_row = src[:, 7:8, :] * alive_row
+    out_ref[:, 0:1, kL : kL + LANE] = t_row
+    out_ref[:, 1:8, kL : kL + LANE] = jnp.zeros((B, 7, LANE), jnp.float32)
+
+
 # valid-gate accumulator sublane count (>= k, padded to the f32 tile)
 _VALID_ROWS = 16
 
@@ -721,7 +883,8 @@ def _backend() -> str:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_agents", "k", "block_envs", "interpret", "variant", "raw_out"
+        "n_agents", "k", "block_envs", "interpret", "variant", "raw_out",
+        "dimsem",
     ),
 )
 def knn_observation(
@@ -737,6 +900,7 @@ def knn_observation(
     interpret: bool = False,
     variant: str = "packed",
     raw_out: bool = False,
+    dimsem: str = "",
 ) -> jnp.ndarray:
     """Batched fused kNN observation: returns (E, N, 8*k + 1) float32.
 
@@ -751,6 +915,13 @@ def knn_observation(
     the transposed layout (or A/B-ing the transpose cost)."""
     E, N = loc_x.shape
     assert N == n_agents
+    if variant.startswith("flat"):
+        return _knn_observation_flat(
+            loc_x, loc_y, feats, types_f, still_f, t_norm,
+            n_agents=n_agents, k=k, block_envs=block_envs,
+            interpret=interpret, variant=variant, raw_out=raw_out,
+            dimsem=dimsem,
+        )
     if variant.startswith("tiled"):
         return _knn_observation_tiled(
             loc_x, loc_y, feats, types_f, still_f, t_norm,
@@ -897,6 +1068,204 @@ def _bf16_pair(x: jnp.ndarray):
     hi = x.astype(jnp.bfloat16)
     lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return hi, lo
+
+
+def flat_obs_to_contract(out: jnp.ndarray, n_agents: int, k: int
+                         ) -> jnp.ndarray:
+    """Convert the v9 flat layout ``(E, 8, NT*(k+1)*LANE)`` back to the
+    ``(E, N, 8*k + 1)`` observation contract (one XLA relayout; only paid
+    when a consumer insists on the contract layout — the policy matmul
+    can contract the flat layout directly)."""
+    E = out.shape[0]
+    NT = out.shape[2] // ((k + 1) * LANE)
+    # obs[e, t*LANE + i, s*8 + c] = out[e, c, (t*(k+1) + s)*LANE + i]
+    x = out.reshape(E, 8, NT, k + 1, LANE)
+    x = jnp.transpose(x, (0, 2, 4, 3, 1))  # (E, NT, LANE, k+1, 8)
+    x = x.reshape(E, NT * LANE, (k + 1) * 8)
+    return x[:, :n_agents, : 8 * k + 1]
+
+
+def _knn_observation_flat(
+    loc_x, loc_y, feats, types_f, still_f, t_norm, *,
+    n_agents: int, k: int, block_envs: int, interpret: bool,
+    variant: str, raw_out: bool, dimsem: str = "",
+) -> jnp.ndarray:
+    """Flat-emit kernel dispatch (``variant='flat[_mxudist][_exact]'``,
+    v9): any agent count, candidate-side operands AND (for mxudist) the
+    observer-side distance-expansion operand precomputed here in XLA.
+
+    ``raw_out=True`` returns the kernel-native flat layout
+    ``(E, 8, NT*(k+1)*LANE)`` (see ``_v9_body``); otherwise the
+    ``(E, N, 8*k+1)`` contract via :func:`flat_obs_to_contract`.
+    Exactness classes match the v7 names: ``flat_exact`` is the
+    oracle-selection-exact class, ``flat`` packs index ties,
+    ``flat_mxudist[_exact]`` is the deterministic near-exact
+    MXU-distance class.
+    """
+    E, N = loc_x.shape
+    NT = (N + LANE - 1) // LANE  # observer lane tiles
+    NP = NT * LANE
+    SUBn = ((N + 7) // 8) * 8  # candidate sublanes
+    exact = variant.endswith("_exact")
+    dist_mxu = "_mxudist" in variant
+
+    f32 = jnp.float32
+    loc_x = loc_x.astype(f32)
+    loc_y = loc_y.astype(f32)
+    still = still_f.astype(f32)
+
+    pad_i = NP - N
+
+    def pad_lane(a):  # pad the trailing (agent) axis to NP lanes
+        return jnp.pad(a, ((0, 0),) * (a.ndim - 1) + ((0, pad_i),))
+
+    xy2 = pad_lane(jnp.stack([loc_x, loc_y], axis=1))  # (E, 2, NP)
+    src = pad_lane(
+        jnp.concatenate(
+            [
+                feats.astype(f32),
+                jnp.broadcast_to(types_f[None, None, :], (E, 1, N)),
+                still[:, None, :],
+                jnp.broadcast_to(
+                    t_norm.astype(f32)[:, None, None], (E, 1, N)
+                ),
+            ],
+            axis=1,
+        )
+    )  # (E, 8, NP)
+
+    pad_j = SUBn - N
+    cand = jnp.pad(
+        jnp.stack(
+            [loc_x, loc_y, still] + [jnp.zeros_like(loc_x)] * 5, axis=2
+        ),
+        ((0, 0), (0, pad_j), (0, 0)),
+    )  # (E, SUBn, 8) — candidate sublane rows
+
+    feats6 = jnp.concatenate(
+        [feats.astype(f32),
+         jnp.broadcast_to(types_f[None, None, :], (E, 1, N))],
+        axis=1,
+    )  # (E, 6, N)
+    hi6, lo6 = _bf16_pair(feats6)
+    pairs = jnp.pad(
+        jnp.concatenate([hi6, lo6], axis=1).astype(jnp.bfloat16),
+        ((0, 0), (0, 4), (0, pad_j)),
+    )  # (E, 16, SUBn) bf16 (4 zero rows pad the sublane tile)
+
+    # BIG-diagonal self-exclusion mask, constant across envs
+    selfmask = jnp.asarray(
+        np.pad(
+            _BIG * np.eye(N, dtype=np.float32),
+            ((0, pad_j), (0, pad_i)),
+        )
+    )  # (SUBn, NP) f32
+
+    extra_inputs = []
+    extra_specs = []
+    if dist_mxu:
+        # centered coordinates bound the |p|^2-scale cancellation of the
+        # MXU expansion build (see _v7_body)
+        xc = loc_x - jnp.mean(loc_x, axis=1, keepdims=True)
+        yc = loc_y - jnp.mean(loc_y, axis=1, keepdims=True)
+        xh, xl = _bf16_pair(xc)
+        yh, yl = _bf16_pair(yc)
+        nrm = xc * xc + yc * yc
+        nh, nl = _bf16_pair(nrm)
+        ones = jnp.ones_like(nh)
+        amat = jnp.pad(
+            jnp.stack(
+                [xh, xh, xl, xl, yh, yh, yl, yl, nh, nl, ones, ones],
+                axis=2,
+            ),
+            ((0, 0), (0, pad_j), (0, 0)),
+        )  # (E, SUBn, 12) bf16
+        two = jnp.bfloat16(-2.0)
+        bmat = pad_lane(
+            jnp.stack(
+                [
+                    two * xh, two * xl, two * xh, two * xl,
+                    two * yh, two * yl, two * yh, two * yl,
+                    ones, ones, nh, nl,
+                ],
+                axis=1,
+            )
+        )  # (E, 12, NP) bf16 — the i-side operand, HOISTED out of the
+        # kernel (v7 rebuilt it per grid step from centered coords)
+        kernel_fn = _knn_obs_kernel_v9_mxu
+    else:
+        kernel_fn = _knn_obs_kernel_v9
+
+    # VMEM-driven env-block clamp (same budget as the v7 family: the
+    # bf16 one-hot scratch dominates)
+    B = block_envs
+    while B > 1 and B * SUBn * (k * LANE * 2 + LANE * 4 * 3) > 6_000_000:
+        B //= 2
+    pad_e = (-E) % B
+    if pad_e:
+        pad0 = lambda a: jnp.pad(  # noqa: E731
+            a, ((0, pad_e),) + ((0, 0),) * (a.ndim - 1)
+        )
+        xy2, src, cand, pairs = map(pad0, (xy2, src, cand, pairs))
+        if dist_mxu:
+            amat = pad0(amat)
+            bmat = pad0(bmat)
+    Ep = E + pad_e
+    if dist_mxu:
+        extra_inputs = [amat, bmat]
+        extra_specs = [
+            pl.BlockSpec((B, SUBn, 12), lambda e, t: (e, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 12, LANE), lambda e, t: (e, 0, t),
+                         memory_space=pltpu.VMEM),
+        ]
+
+    kernel = functools.partial(
+        kernel_fn, n_agents=n_agents, k=k, exact=exact
+    )
+    # experiment knob (A/B artifacts/round5): Mosaic grid-dimension
+    # semantics, e.g. "parallel,parallel" — grid steps write disjoint
+    # output blocks, so parallel semantics let the compiler pipeline /
+    # reorder them (the per-block launch floor is the measured dominant
+    # kernel cost at B=2)
+    pc_kwargs = {}
+    if dimsem and not interpret:
+        pc_kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=tuple(dimsem.split(","))
+        )
+    out = pl.pallas_call(
+        kernel,
+        grid=(Ep // B, NT),
+        **pc_kwargs,
+        in_specs=[
+            pl.BlockSpec((B, SUBn, 8), lambda e, t: (e, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 16, SUBn), lambda e, t: (e, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBn, LANE), lambda e, t: (0, t),
+                         memory_space=pltpu.VMEM),
+        ]
+        + extra_specs
+        + [
+            pl.BlockSpec((B, 2, LANE), lambda e, t: (e, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 8, LANE), lambda e, t: (e, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (B, 8, (k + 1) * LANE), lambda e, t: (e, 0, t),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (Ep, 8, NT * (k + 1) * LANE), jnp.float32
+        ),
+        scratch_shapes=[pltpu.VMEM((B, SUBn, k * LANE), jnp.bfloat16)],
+        interpret=interpret,
+    )(cand, pairs, selfmask, *extra_inputs, xy2, src)
+
+    if raw_out:
+        return out[:E]
+    return flat_obs_to_contract(out[:E], n_agents, k)
 
 
 def _knn_observation_tiled(

@@ -76,20 +76,22 @@ def build_flagship(num_envs: int = 64, fc_dims=(256, 256), seed: int = 0,
     # observations (the neighbor type channel) differ between builds even
     # from identical physical states
     kwargs.setdefault("seed", seed)
-    # kNN algorithm default for the flagship: "pallas_mxu_exact" — the
-    # VMEM-resident fused Mosaic kernel (ops/knn_obs.py v3/v4: packed-
-    # argmin ladder on a trimmed candidate axis + one in-kernel bf16
-    # hi/lo MXU selection matmul) in its EXACT-tie mode: 0/67,200 slot
-    # deviations vs the numpy reference on a rolled on-chip state (max
-    # abs 3.8e-6 bf16 feature rounding — far below the 1% consistency
-    # bar), 935K env-steps/s env-only @1000 envs vs 951K for the
-    # round-2 XLA "packed"+bf16pair default WHICH FAILS the consistency
-    # oracle on near-tie tie-breaks (tests/
-    # test_consistency_flagship_bench_config.py).  The quantized-tie
-    # variant "pallas_mxu" is ~18% faster (1106K) — bench.py reports it
-    # as a separate, clearly-labeled stage.  A/Bs: artifacts/round3/
-    # r3_ab2..r3_ab8; design notes docs/performance.md §5-6.
-    kwargs.setdefault("knn_algorithm", "pallas_mxu_exact")
+    # kNN algorithm default for the flagship: "pallas_flat_exact" — the
+    # round-5 flat-emit Mosaic kernel (ops/knn_obs.py v9: packed/exact
+    # argmin ladder with a 5-op lowest-index tie-break, invalid-candidate
+    # masking folded into two adds, one bf16 hi/lo MXU selection matmul,
+    # flat slot-major emit) in its EXACT-tie mode: same selection
+    # semantics as the round-3/4 "pallas_mxu_exact" default (0/67,200
+    # slot deviations vs the numpy reference; the consistency oracle
+    # passes on this exact config,
+    # tests/test_consistency_flagship_bench_config.py), measured
+    # 1,203K env-steps/s env-only @1000 envs / B=4 vs 1,058K for
+    # pallas_mxu_exact @B=2 (artifacts/round5/r5_ab4..ab6).  The
+    # quantized-tie variant "pallas_flat" reaches 1,463K — bench.py
+    # reports it as a separate, clearly-labeled stage.  History:
+    # round-3 A/Bs artifacts/round3/r3_ab2..r3_ab8; design notes
+    # docs/performance.md §5-6.
+    kwargs.setdefault("knn_algorithm", "pallas_flat_exact")
     # neighbor-feature selection for the XLA algorithms (ladder/packed/
     # topk/approx): "bf16pair" — MXU one-hot matmul with hi/lo bfloat16
     # feature pairs, ~10% faster whole-loop than the fused VPU masked-sum
@@ -101,6 +103,13 @@ def build_flagship(num_envs: int = 64, fc_dims=(256, 256), seed: int = 0,
         kwargs["knn_algorithm"] = knn_algorithm
     if knn_select is not None:
         kwargs["knn_select"] = knn_select
+    # envs per Pallas grid block: B=4 is the v9 kernel's sharp optimum
+    # (B=2 1063K / B=3 1061K / B=4 1135K / B=8 1024K @E=2000 exact;
+    # B=5/6 regress — artifacts/round5/r5_ab4_results.jsonl).  The v3/v7
+    # kernels measured best at B=2 (r3_ab8), so this default only
+    # applies to the v9 "pallas_flat*" family.
+    if kwargs["knn_algorithm"].startswith("pallas_flat"):
+        kwargs.setdefault("knn_block_envs", 4)
     env = TagContinuous(**kwargs)
     engine = EnvEngine(env_obj=env, num_envs=num_envs, seed=seed)
 

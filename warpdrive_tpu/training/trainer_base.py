@@ -1067,27 +1067,27 @@ class TrainerBase:
         def timeit(fn, first_args, next_args):
             out = fn(*first_args)  # compile + warm up
             _fetch(out)
-            best = float("inf")
+            times = []
             for _ in range(repeats):
                 args = next_args(out)
                 t0 = time.time()
                 out = fn(*args)
                 _fetch(out)
-                best = min(best, time.time() - t0)
-            return best * 1000
+                times.append((time.time() - t0) * 1000)
+            return min(times), times
 
         # no donation: the timing loop reuses the same carry buffers.
         # Time the HOT program (metrics-free where the subclass provides
         # one) — that is what every non-log training iteration runs.
         carry = jax.tree_util.tree_map(jnp.copy, self._carry)
         t_arg = jnp.asarray(0.0, jnp.float32)
-        iter_ms = timeit(
+        iter_ms, iter_ms_repeats = timeit(
             jax.jit(self._build_hot_iteration_fn()),
             (carry, t_arg),
             lambda out: (out[0], t_arg),  # chain the returned carry
         )
         rollout_fn = jax.jit(self._build_rollout_profile_fn())
-        rollout_ms = timeit(
+        rollout_ms, rollout_ms_repeats = timeit(
             rollout_fn,
             (carry, self._next_rng()),
             lambda out: (carry, self._next_rng()),  # fresh key per repeat
@@ -1103,7 +1103,7 @@ class TrainerBase:
         if update_fn is not None:
             batch = rollout_fn(carry, self._next_rng())[1]
             t_arg_u = jnp.asarray(0.0, jnp.float32)
-            update_ms = timeit(
+            update_ms, update_ms_repeats = timeit(
                 jax.jit(update_fn),
                 (carry, batch, t_arg_u, self._next_rng()),
                 # chain the updated carry (fresh params each repeat — the
@@ -1112,6 +1112,7 @@ class TrainerBase:
             )
         else:
             update_ms = update_ms_residual
+            update_ms_repeats = []
 
         result = {
             "iteration_ms": iter_ms,
@@ -1121,6 +1122,16 @@ class TrainerBase:
             "update_ms_direct": update_fn is not None,
             "steps_per_sec": steps_per_iter / (iter_ms / 1000.0),
             "rollout_steps_per_sec": steps_per_iter / (rollout_ms / 1000.0),
+            # per-repeat dispersion (VERDICT r4 next #3): chained-input
+            # wall times for each phase, so consumers can report
+            # median/min/max instead of a single draw from a +-10-25%
+            # run-to-run noise band
+            "iteration_ms_repeats": iter_ms_repeats,
+            "rollout_ms_repeats": rollout_ms_repeats,
+            "update_ms_repeats": update_ms_repeats,
+            "steps_per_sec_repeats": [
+                steps_per_iter / (ms / 1000.0) for ms in iter_ms_repeats
+            ],
         }
         self.perf_stats.phase_breakdown = {
             "Rollout time per iter (ms)": rollout_ms,
