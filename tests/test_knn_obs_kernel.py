@@ -379,6 +379,44 @@ def test_tiled_kernel_multi_tile_agents(num_agents, k, variant):
         )
 
 
+@pytest.mark.parametrize("num_agents,k", [(105, 10), (30, 4)])
+def test_flat_unrolled_ladder_matches_fori(num_agents, k):
+    """The statically-unrolled ladder (the TPU default at k<=16) is the
+    same math as the fori_loop ladder — outputs must be bit-identical in
+    interpret mode for both exactness classes."""
+    env = TpuTagContinuous(
+        num_taggers=max(2, num_agents // 5),
+        num_runners=num_agents - max(2, num_agents // 5),
+        grid_length=20.0,
+        episode_length=100,
+        use_full_observation=False,
+        num_other_agents_observed=k,
+    )
+    state = _build_state(env, 4, seed=13)
+    feats = jnp.stack(
+        [
+            state["loc_x"] / env.grid_diagonal,
+            state["loc_y"] / env.grid_diagonal,
+            state["speed"] / (env.max_speed + np.float32(1e-10)),
+            state["acceleration"] / (env.max_speed + np.float32(1e-10)),
+            state["direction"] / np.float32(2 * np.pi),
+        ],
+        axis=1,
+    )
+    args = (
+        state["loc_x"], state["loc_y"], feats,
+        jnp.asarray(env.agent_types, dtype=jnp.float32),
+        state["still_in_the_game"].astype(jnp.float32),
+        (state[Constants.TIMESTEP] / env.episode_length).astype(jnp.float32),
+    )
+    for variant in ("flat_exact", "flat"):
+        a = knn_observation(*args, n_agents=env.num_agents, k=k,
+                            interpret=True, variant=variant, unroll=False)
+        b = knn_observation(*args, n_agents=env.num_agents, k=k,
+                            interpret=True, variant=variant, unroll=True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 @pytest.mark.parametrize("num_agents,k,num_envs", [(105, 10, 6), (200, 6, 3)])
 def test_flat_raw_layout_roundtrip(num_agents, k, num_envs):
     """The v9 flat raw layout (``raw_out=True``) carries exactly the

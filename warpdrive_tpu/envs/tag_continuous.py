@@ -235,6 +235,14 @@ class TagContinuous:
         )
         self.is_tagger = self.agent_types == 1
         self.is_runner = ~self.is_tagger
+        # static (T, N) 0/1 tagger-selection matrix (ascending tagger
+        # ids): gather-free tagger-coordinate extraction and local->
+        # global credit scatter in the jitted physics (see physics_fn)
+        _tids = np.where(self.is_tagger)[0]
+        self._tagger_select = np.zeros(
+            (len(_tids), self.num_agents), dtype=np.float32
+        )
+        self._tagger_select[np.arange(len(_tids)), _tids] = 1.0
         # reference-API aliases (tag_continuous.py:163-171): dicts keyed by
         # agent id so ``list(env.taggers)`` yields the tagger ids for a
         # policy_tag_to_agent_id_map; these are the at-reset memberships
@@ -582,22 +590,38 @@ class TpuTagContinuous(TagContinuous, TpuEnvironmentContext):
             alive, edge_penalty + jnp.asarray(self.step_rewards), 0.0
         )
 
-        dx = loc_x[:, None] - loc_x[None, :]
-        dy = loc_y[:, None] - loc_y[None, :]
-        dist = jnp.sqrt(dx**2 + dy**2)
-        d_rt = jnp.where(is_tagger[None, :], dist, _BIG)
-        min_d = d_rt.min(axis=1)
-        nearest_tagger = d_rt.argmin(axis=1)
+        # tagging needs distances to the TAGGER SET only (static ids) —
+        # an (N, T) matrix, not the full (N, N) one the reference's
+        # per-thread scan implies (tag_continuous_step_pycuda.cu:379-404).
+        # The round-5 full-loop trace (artifacts/round5/trace_fullloop)
+        # showed the (E, N, N) build + its axis-1 min/argmin running at
+        # 36 GB/s for ~230 us/fleet-step @E=2000; the (N, T) form is
+        # T/N = 21x less work and bit-identical: the pairwise terms are
+        # the same subtractions/sqrt, the reference's min over BIG-masked
+        # non-tagger columns equals the min over tagger columns, and
+        # lowest-LOCAL-index ties equal lowest-GLOBAL-index ties because
+        # the tagger id list is ascending.
+        sel_t = jnp.asarray(self._tagger_select)  # (T, N) static one-hot
+        tx = sel_t @ loc_x  # (T,) tagger coordinates, gather-free
+        ty = sel_t @ loc_y
+        dxt = loc_x[:, None] - tx[None, :]
+        dyt = loc_y[:, None] - ty[None, :]
+        dist_t = jnp.sqrt(dxt**2 + dyt**2)  # (N, T)
+        min_d = dist_t.min(axis=1)
+        nearest_local = dist_t.argmin(axis=1)  # (N,) index into taggers
         tagged = alive & is_runner & (min_d < self.distance_margin_for_reward)
 
         rew = rew + self.tag_penalty_for_runner * tagged.astype(jnp.float32)
         # scatter-add (reward the nearest tagger of each tagged runner) as a
-        # one-hot matvec: rew[t] += Σ_r 1[nearest_tagger[r] == t] * tagged[r]
+        # one-hot matvec: rew[t] += Σ_r 1[nearest[r] == t] * tagged[r]
         # — replaces the slow TPU scatter lowering (and the reference's
-        # atomicAdd, ``tag_continuous_step_pycuda.cu``) with a dense product
-        tag_credit = jax.nn.one_hot(
-            nearest_tagger, still_i.shape[0], dtype=jnp.float32
-        ).T @ tagged.astype(jnp.float32)
+        # atomicAdd, ``tag_continuous_step_pycuda.cu``) with dense
+        # products; the local (T,) credit is scattered to global agent
+        # slots through the same static one-hot
+        credit_local = jax.nn.one_hot(
+            nearest_local, sel_t.shape[0], dtype=jnp.float32
+        ).T @ tagged.astype(jnp.float32)  # (T,)
+        tag_credit = sel_t.T @ credit_local  # (N,)
         rew = rew + self.tag_reward_for_tagger * tag_credit
         if self.runner_exits_game_after_tagged:
             still_i = jnp.where(tagged, 0, still_i).astype(jnp.int32)
@@ -692,9 +716,24 @@ class TpuTagContinuous(TagContinuous, TpuEnvironmentContext):
             block_envs=self.knn_block_envs,
             interpret=interpret,
             variant=variant,
-            # flat-kernel grid-dimension-semantics experiment knob
-            # (read at trace time; see knn_obs._knn_observation_flat)
+            # flat-kernel knobs (read at trace time; see
+            # knn_obs._knn_observation_flat).  input_fusion defaults ON:
+            # fusing the pad/stack input prep into the pallas call is a
+            # measured pure win (env-only exact 1325K -> 1384K @E=1000,
+            # full loop 866K -> 972K @E=2000 — artifacts/round5/r5_ab7)
+            # and does not change the computed values (the producers are
+            # the same ops, just not materialized to HBM).
             dimsem=getattr(self, "knn_flat_dimsem", ""),
+            input_fusion=getattr(self, "knn_input_fusion", True),
+            # ladder unroll defaults ON for small k: the statically
+            # unrolled ladder lets Mosaic schedule across slots —
+            # measured exact 1384K -> 1422K, packed 1717K -> 1742K
+            # @E=1000 (artifacts/round5/r5_ab10); large k would blow up
+            # the kernel body (the v1/v2 compile-bomb class), so cap it
+            unroll=getattr(
+                self, "knn_flat_unroll",
+                self.num_other_agents_observed <= 16,
+            ),
         )
 
     def observe_fn(self, state: dict) -> jnp.ndarray:

@@ -710,26 +710,27 @@ def _v7_body(cand_ref, pairs_ref, amat_ref, xy_ref, src_ref, out_ref,
 
 def _knn_obs_kernel_v9(cand_ref, pairs_ref, selfmask_ref, xy_ref, src_ref,
                        out_ref, acc_ref, *, n_agents: int, k: int,
-                       exact: bool):
+                       exact: bool, unroll: bool = False):
     """VPU-distance flat-emit positional adapter (v9)."""
     _v9_body(cand_ref, pairs_ref, selfmask_ref, None, None, xy_ref, src_ref,
              out_ref, acc_ref, n_agents=n_agents, k=k, exact=exact,
-             dist_mxu=False)
+             dist_mxu=False, unroll=unroll)
 
 
 def _knn_obs_kernel_v9_mxu(cand_ref, pairs_ref, selfmask_ref, amat_ref,
                            bmat_ref, xy_ref, src_ref, out_ref, acc_ref, *,
-                           n_agents: int, k: int, exact: bool):
+                           n_agents: int, k: int, exact: bool,
+                           unroll: bool = False):
     """MXU-distance flat-emit positional adapter (v9, hoisted i-side
     expansion operand ``bmat_ref``)."""
     _v9_body(cand_ref, pairs_ref, selfmask_ref, amat_ref, bmat_ref, xy_ref,
              src_ref, out_ref, acc_ref, n_agents=n_agents, k=k, exact=exact,
-             dist_mxu=True)
+             dist_mxu=True, unroll=unroll)
 
 
 def _v9_body(cand_ref, pairs_ref, selfmask_ref, amat_ref, bmat_ref, xy_ref,
              src_ref, out_ref, acc_ref, *, n_agents: int, k: int,
-             exact: bool, dist_mxu: bool):
+             exact: bool, dist_mxu: bool, unroll: bool = False):
     """Flat-emit multi-tile kernel (round 5): v7 with the three
     VPU-cost reductions the r3_ab5/r4 decompositions pointed at
     (VERDICT r4 next #1):
@@ -835,7 +836,13 @@ def _v9_body(cand_ref, pairs_ref, selfmask_ref, amat_ref, bmat_ref, xy_ref,
         )
         return jnp.where(eq, big_packed, d2i)
 
-    jax.lax.fori_loop(0, k, slot_body, d2i)
+    if unroll:
+        # static unroll (~6k ops — far below the Mosaic crash size of
+        # the v1/v2 bodies): lets the compiler schedule across slots
+        for slot in range(k):
+            d2i = slot_body(slot, d2i)
+    else:
+        jax.lax.fori_loop(0, k, slot_body, d2i)
 
     sel = jax.lax.dot_general(
         pairs_ref[:],
@@ -884,7 +891,7 @@ def _backend() -> str:
     jax.jit,
     static_argnames=(
         "n_agents", "k", "block_envs", "interpret", "variant", "raw_out",
-        "dimsem",
+        "dimsem", "input_fusion", "unroll",
     ),
 )
 def knn_observation(
@@ -901,6 +908,8 @@ def knn_observation(
     variant: str = "packed",
     raw_out: bool = False,
     dimsem: str = "",
+    input_fusion: bool = False,
+    unroll: bool = False,
 ) -> jnp.ndarray:
     """Batched fused kNN observation: returns (E, N, 8*k + 1) float32.
 
@@ -920,7 +929,7 @@ def knn_observation(
             loc_x, loc_y, feats, types_f, still_f, t_norm,
             n_agents=n_agents, k=k, block_envs=block_envs,
             interpret=interpret, variant=variant, raw_out=raw_out,
-            dimsem=dimsem,
+            dimsem=dimsem, input_fusion=input_fusion, unroll=unroll,
         )
     if variant.startswith("tiled"):
         return _knn_observation_tiled(
@@ -1089,6 +1098,7 @@ def _knn_observation_flat(
     loc_x, loc_y, feats, types_f, still_f, t_norm, *,
     n_agents: int, k: int, block_envs: int, interpret: bool,
     variant: str, raw_out: bool, dimsem: str = "",
+    input_fusion: bool = False, unroll: bool = False,
 ) -> jnp.ndarray:
     """Flat-emit kernel dispatch (``variant='flat[_mxudist][_exact]'``,
     v9): any agent count, candidate-side operands AND (for mxudist) the
@@ -1221,7 +1231,7 @@ def _knn_observation_flat(
         ]
 
     kernel = functools.partial(
-        kernel_fn, n_agents=n_agents, k=k, exact=exact
+        kernel_fn, n_agents=n_agents, k=k, exact=exact, unroll=unroll
     )
     # experiment knob (A/B artifacts/round5): Mosaic grid-dimension
     # semantics, e.g. "parallel,parallel" — grid steps write disjoint
@@ -1229,9 +1239,17 @@ def _knn_observation_flat(
     # reorder them (the per-block launch floor is the measured dominant
     # kernel cost at B=2)
     pc_kwargs = {}
-    if dimsem and not interpret:
+    if (dimsem or input_fusion) and not interpret:
+        n_inputs = 5 if dist_mxu else 3
         pc_kwargs["compiler_params"] = pltpu.CompilerParams(
-            dimension_semantics=tuple(dimsem.split(","))
+            dimension_semantics=(tuple(dimsem.split(","))
+                                 if dimsem else None),
+            # let XLA fuse the input-prep pads/stacks into the kernel
+            # call instead of materializing padded copies to HBM (the
+            # full-loop trace r5_ab3 shows ~0.27 ms/fleet-step of pad +
+            # concatenate feeding this kernel at ~150 GB/s)
+            allow_input_fusion=([True] * (n_inputs + 2)
+                                if input_fusion else None),
         )
     out = pl.pallas_call(
         kernel,
