@@ -481,14 +481,16 @@ def main():
 
     # 1024-agent TagContinuous: the top of the reference's agents-per-env
     # envelope (README.md:13-26 "up to 1024 agents"; BASELINE.json config
-    # #5).  The O(N^2) distance matrix is 1024^2 x 4B = 4 MB/env.  Round
-    # 4 moved this stage onto the FUSED multi-tile Mosaic kernel
-    # (pallas_tiled_exact, v7 — VMEM-resident per-block distance tiles)
-    # and lifted E past the round-3 materialization cap: 17.0K
-    # env-steps/s @E=256 = 17.45M agent-steps/s, +24% over the round-3
-    # XLA exact-ladder choice (13.7K @E=64); near-tie "pallas_tiled"
-    # reaches 20.5K @E=64 for anyone trading exactness
-    # (artifacts/round4/r4_ab3_results.jsonl; first compile ~10 min).
+    # #5).  Round 5 (artifacts/round5/r5_ab11): the v9 flat kernel +
+    # tagger-set physics take the oracle-exact stage 17.0K -> 22.3K
+    # env-steps/s @E=256 (22.8M agent-steps/s, +31% over round 4); the
+    # surgical decomposition shows the kernel is EXACT-LADDER-bound at
+    # N=1024 (5.6 of 11.5 ms/fleet-step; k x 6 data-dependent full-
+    # matrix passes over 1024 candidate sublanes), NOT distance-bound —
+    # the MXU distance build wins its component there (confirming the
+    # r4 verdict hypothesis) and the near-exact classes reach
+    # "pallas_flat_mxudist" 33.3K (34.1M agent-steps/s) for anyone
+    # trading exactness.  First compile ~10 min.
     try:
         print("[bench] compiling + timing 1024-agent TagContinuous...",
               file=sys.stderr, flush=True)
@@ -504,7 +506,7 @@ def main():
         aenv = _TTC(**dict(
             _FK, num_taggers=20, num_runners=1004, grid_length=60.0,
             seed=0,
-            knn_algorithm="pallas_tiled_exact" if on_tpu else "ladder",
+            knn_algorithm="pallas_flat_exact" if on_tpu else "ladder",
             knn_select="bf16pair"))
         aengine = EnvEngine(env_obj=aenv, num_envs=a_envs, seed=0)
         a_state = {k: v for k, v in aengine.state.items()

@@ -547,11 +547,13 @@ def test_envlanes_kernel_multi_tile(num_agents, k, num_envs, variant):
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
-def test_tiled_exact_1024_agents_bench_geometry():
+@pytest.mark.parametrize("variant", ["tiled_exact", "flat_exact"])
+def test_exact_1024_agents_bench_geometry(variant):
     """Oracle parity at the EXACT 1024-agent bench-stage geometry
-    (bench.py envelope stage: 20 taggers + 1004 runners, grid 60, k=10,
-    pallas_tiled_exact) — the v7 multi-tile kernel at 8 observer tiles.
-    Interpret mode; 2 envs keeps CPU time reasonable."""
+    (bench.py envelope stage: 20 taggers + 1004 runners, grid 60, k=10;
+    pallas_flat_exact is the round-5 bench choice, tiled_exact the
+    round-4 one) — 8 observer tiles.  Interpret mode; 2 envs keeps CPU
+    time reasonable."""
     env = TpuTagContinuous(
         num_taggers=20,
         num_runners=1004,
@@ -584,7 +586,7 @@ def test_tiled_exact_1024_agents_bench_geometry():
         n_agents=env.num_agents,
         k=10,
         interpret=True,
-        variant="tiled_exact",
+        variant=variant,
     )
     assert out.shape == ref.shape
     # selection is exact; features carry bf16 hi/lo pair rounding (~4e-6)

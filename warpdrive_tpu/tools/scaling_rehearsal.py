@@ -33,8 +33,13 @@ import time
 
 # two scales: a tiny iteration (coordination-latency-bound — the floor)
 # and a bigger one (compute amortizes the cross-process overhead — the
-# regime the reference's linear-scaling claim lives in)
+# regime the reference's linear-scaling claim lives in).  Round 5
+# (VERDICT r4 next #5): three PROGRAM SHAPES, not just the lightest one —
+# gridworld A2C (cheap obs), flagship kNN-observe (ladder) A2C (the
+# heavy per-step-obs case where per-step collectives would actually
+# hurt), and on-device-replay DDPG.
 SCALES = {"small": 32, "large": 512, "xlarge": 2048, "xxlarge": 8192}
+SHAPES = ("gridworld", "flagship_knn", "ddpg")
 T_STEPS = 20
 TIMED_ITERS = 8
 NUM_ENVS = 32  # overridden per run via WD_REHEARSAL_ENVS
@@ -44,9 +49,30 @@ def _num_envs() -> int:
     return int(os.environ.get("WD_REHEARSAL_ENVS", NUM_ENVS))
 
 
-def _build_trainer(outdir: str):
-    import jax.numpy as jnp  # noqa: F401
+def _shape() -> str:
+    return os.environ.get("WD_REHEARSAL_SHAPE", "gridworld")
 
+
+def _build_trainer(outdir: str):
+    shape = _shape()
+    if shape == "flagship_knn":
+        return _build_trainer_flagship_knn(outdir)
+    if shape == "ddpg":
+        return _build_trainer_ddpg(outdir)
+    return _build_trainer_gridworld(outdir)
+
+
+def _saving(outdir: str) -> dict:
+    return {
+        "metrics_log_freq": 10**9,
+        "model_params_save_freq": 10**9,
+        "basedir": outdir,
+        "name": "sr",
+        "tag": "t",
+    }
+
+
+def _build_trainer_gridworld(outdir: str):
     from warpdrive_tpu.envs import register_all_envs
     from warpdrive_tpu.envs.engine import EnvEngine
     from warpdrive_tpu.envs.tag_gridworld import TpuTagGridWorld
@@ -79,15 +105,106 @@ def _build_trainer(outdir: str):
                 "model": {"type": "fully_connected", "fc_dims": [32, 32]},
             }
         },
-        "saving": {
-            "metrics_log_freq": 10**9,
-            "model_params_save_freq": 10**9,
-            "basedir": outdir,
-            "name": "sr",
-            "tag": "t",
-        },
+        "saving": _saving(outdir),
     }
     return TrainerA2C(env_wrapper=engine, config=cfg, verbose=False)
+
+
+def _build_trainer_flagship_knn(outdir: str):
+    """Two-policy TagContinuous with per-step kNN observations on the
+    CPU-runnable exact `ladder` algorithm — the flagship program shape
+    (heavy in-scan observe; the Mosaic kernels are TPU-only, ladder has
+    the same selection semantics in plain XLA)."""
+    import numpy as np
+
+    from warpdrive_tpu.envs.engine import EnvEngine
+    from warpdrive_tpu.envs.tag_continuous import TpuTagContinuous
+    from warpdrive_tpu.parallel.mesh import apply_env_sharding
+    from warpdrive_tpu.training.trainer_a2c import TrainerA2C
+
+    n_envs = _num_envs()
+    env = TpuTagContinuous(
+        num_taggers=3, num_runners=12, grid_length=10.0,
+        episode_length=T_STEPS, seed=7, use_full_observation=False,
+        num_other_agents_observed=4, knn_algorithm="ladder",
+        knn_select="bf16pair",
+    )
+    engine = EnvEngine(env_obj=env, num_envs=n_envs, seed=7)
+    engine = apply_env_sharding(engine)
+    pol = {
+        "to_train": True, "algorithm": "A2C", "gamma": 0.98, "lr": 1e-3,
+        "model": {"type": "fully_connected", "fc_dims": [32, 32]},
+    }
+    cfg = {
+        "name": "scaling_rehearsal_knn",
+        "env": {},
+        "trainer": {
+            "num_envs": n_envs,
+            "num_episodes": 4 * n_envs,
+            "train_batch_size": n_envs * T_STEPS,
+            "seed": 1,
+        },
+        "policy": {"tagger": dict(pol), "runner": dict(pol)},
+        "saving": _saving(outdir),
+    }
+    pmap = {
+        "runner": np.where(env.agent_types == 0)[0].tolist(),
+        "tagger": np.where(env.agent_types == 1)[0].tolist(),
+    }
+    return TrainerA2C(env_wrapper=engine, config=cfg,
+                      policy_tag_to_agent_id_map=pmap, verbose=False)
+
+
+def _build_trainer_ddpg(outdir: str):
+    """Pendulum DDPG: presampled OU noise, on-device replay ring,
+    actor+critic+target soft updates — the off-policy program shape."""
+    from warpdrive_tpu.envs import register_all_envs
+    from warpdrive_tpu.envs.engine import EnvEngine
+    from warpdrive_tpu.parallel.mesh import apply_env_sharding
+    from warpdrive_tpu.training.trainer_ddpg import TrainerDDPG
+    from warpdrive_tpu.utils.env_registrar import env_registrar
+
+    register_all_envs()
+    n_envs = _num_envs()
+    pend_cls = env_registrar.get("ClassicControlPendulumEnv", backend="tpu")
+    engine = apply_env_sharding(
+        EnvEngine(env_obj=pend_cls(episode_length=T_STEPS, seed=3),
+                  num_envs=n_envs, seed=0)
+    )
+    cfg = {
+        "name": "scaling_rehearsal_ddpg",
+        "env": {},
+        "trainer": {
+            "num_envs": n_envs,
+            "num_episodes": 2 * n_envs,
+            "train_batch_size": n_envs * T_STEPS,
+            "seed": 2,
+        },
+        "policy": {
+            "shared": {
+                "to_train": True,
+                "algorithm": "DDPG",
+                "gamma": 0.99,
+                "tau": 0.05,
+                "lr": {"actor": 1e-3, "critic": 1e-4},
+                "model": {
+                    "actor": {
+                        "type": "fully_connected_actor",
+                        "fc_dims": [16, 16],
+                        "output_w": 2.0,
+                    },
+                    "critic": {
+                        "type": "fully_connected_action_value_critic",
+                        "fc_dims": [16, 16],
+                    },
+                },
+            }
+        },
+        "sampler": {"params": {"damping": 0.15, "stddev": 0.2,
+                               "scale": 1.0}},
+        "saving": _saving(outdir),
+    }
+    return TrainerDDPG(env_wrapper=engine, config=cfg, verbose=False)
 
 
 def _timed_steps_per_sec(trainer) -> float:
@@ -170,12 +287,14 @@ def _cpu_env(n_devices: int) -> dict:
     return env
 
 
-def _measure_scale(outdir: str, n_envs: int, timeout_s: int) -> dict:
+def _measure_scale(outdir: str, n_envs: int, timeout_s: int,
+                   shape: str = "gridworld") -> dict:
     me = os.path.abspath(__file__)
 
     def env_for(n_devices):
         env = _cpu_env(n_devices)
         env["WD_REHEARSAL_ENVS"] = str(n_envs)
+        env["WD_REHEARSAL_SHAPE"] = shape
         return env
 
     single = subprocess.run(
@@ -209,6 +328,7 @@ def _measure_scale(outdir: str, n_envs: int, timeout_s: int) -> dict:
         multi_rate = json.load(f)["steps_per_sec"]
     return {
         "num_envs": n_envs,
+        "shape": shape,
         "steps_per_iter": n_envs * T_STEPS,
         "single_process_8dev_steps_per_sec": round(single_rate),
         "two_process_4dev_steps_per_sec": round(multi_rate),
@@ -216,18 +336,31 @@ def _measure_scale(outdir: str, n_envs: int, timeout_s: int) -> dict:
     }
 
 
-def orchestrate(outdir: str, timeout_s: int = 900) -> dict:
-    """Run both configurations at each scale; write the ratios."""
+def orchestrate(outdir: str, timeout_s: int = 900,
+                shapes=SHAPES) -> dict:
+    """Run both configurations at each scale for each program shape;
+    write the ratios."""
     os.makedirs(outdir, exist_ok=True)
     result = {
         "config": {
-            "env": "TagGridWorld(4 taggers, 10x10)",
+            "shapes": {
+                "gridworld": "TagGridWorld(4 taggers, 10x10) A2C",
+                "flagship_knn": "TagContinuous(3+12, k=4, ladder kNN) "
+                                "two-policy A2C",
+                "ddpg": "Pendulum DDPG (OU noise, on-device replay)",
+            },
             "timed_iters": TIMED_ITERS,
             "devices_total": 8,
         },
-        "scales": {
-            label: _measure_scale(outdir, n_envs, timeout_s)
-            for label, n_envs in SCALES.items()
+        "shapes": {
+            shape: {
+                "scales": {
+                    label: _measure_scale(outdir, n_envs, timeout_s,
+                                          shape=shape)
+                    for label, n_envs in SCALES.items()
+                }
+            }
+            for shape in shapes
         },
         "note": (
             "same SPMD program, same 8 XLA CPU devices; the ratio isolates "
