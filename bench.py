@@ -617,7 +617,8 @@ def main():
         T_f = 500 if on_tpu else 20
         fenv = TpuTagContinuous(
             **dict(FLAGSHIP_ENV_KWARGS, seed=274880,
-                   knn_algorithm="pallas_mxu_exact"))
+                   knn_algorithm="pallas_flat_exact",
+                   knn_block_envs=4))
         fengine = _EE(env_obj=fenv, num_envs=f_envs, seed=31)
         pmap = {
             "tagger": [i for i in range(fenv.num_agents)
@@ -686,7 +687,8 @@ def main():
         t_envs2, T_2 = 2000, 100
         fenv2 = TpuTagContinuous(
             **dict(FLAGSHIP_ENV_KWARGS, seed=274880,
-                   knn_algorithm="pallas_mxu_exact"))
+                   knn_algorithm="pallas_flat_exact",
+                   knn_block_envs=4))
         fengine2 = _EE(env_obj=fenv2, num_envs=t_envs2, seed=31)
         pmap2 = {
             "tagger": [i for i in range(fenv2.num_agents)
