@@ -1,0 +1,154 @@
+"""Round-5 learning validation, part 2b: flagship tuned-config learncheck
+with CROSS-EVALUATION against frozen initial opponents.
+
+The part-2 run (r5_learncheck_flagship.jsonl) showed why self-play eval
+reward is NOT a learning metric in the adversarial system: both policies
+train (runner lr = 5x tagger lr), so the tagger's eval reward moves in
+whichever direction the arms race happened to tip for that seed (observed
+82->40 and 24->98 across seeds at identical configs).
+
+The adversarial-correct probe: evaluate each trained policy against the
+FROZEN INITIAL opponent —
+
+  * taggers learned  <=>  (trained tagger vs initial runner) tagger
+    reward > the all-initial baseline;
+  * runners learned  <=>  (initial tagger vs trained runner) tagger
+    reward < baseline (and runner reward higher).
+
+Both the bench-tuned arm (mb400) and the conservative control (mb8) run
+~20 M env-steps x 2 seeds with identical everything else.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+import jax  # noqa: E402
+
+print("devices:", jax.devices(), flush=True)
+from warpdrive_tpu.envs.engine import EnvEngine  # noqa: E402
+from warpdrive_tpu.envs.tag_continuous import TpuTagContinuous  # noqa: E402
+from warpdrive_tpu.presets import FLAGSHIP_ENV_KWARGS  # noqa: E402
+from warpdrive_tpu.training.trainer_a2c import TrainerA2C  # noqa: E402
+
+OUT = "/root/repo/artifacts/round5/r5_learncheck_fs2.jsonl"
+
+
+def log(rec):
+    print(json.dumps(rec), flush=True)
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+E, T, ITERS = 2000, 100, 100  # 20M env-steps per arm
+
+
+def run(num_minibatches, seed):
+    env = TpuTagContinuous(**dict(FLAGSHIP_ENV_KWARGS, seed=274880))
+    engine = EnvEngine(env_obj=env, num_envs=E, seed=31 + seed)
+    pmap = {
+        "tagger": [i for i in range(env.num_agents)
+                   if env.agent_type[i] == 1],
+        "runner": [i for i in range(env.num_agents)
+                   if env.agent_type[i] == 0],
+    }
+    fpol = {"to_train": True, "algorithm": "A2C", "vf_loss_coeff": 1,
+            "entropy_coeff": 0.05, "clip_grad_norm": True,
+            "max_grad_norm": 0.5, "gamma": 0.98, "lr": 0.001,
+            "num_minibatches": num_minibatches,
+            "shuffle_minibatches": False,
+            "model": {"type": "fully_connected", "fc_dims": [256, 256],
+                      "dtype": "bfloat16"}}
+    cfg = {
+        "name": f"r5lc2_mb{num_minibatches}_s{seed}", "env": {},
+        "trainer": {"num_envs": E, "num_episodes": ITERS * E * T // 500,
+                    "train_batch_size": T * E, "seed": seed,
+                    "batch_dtype": "bfloat16"},
+        "policy": {"runner": dict(fpol, lr=0.005),
+                   "tagger": dict(fpol)},
+        "saving": {"metrics_log_freq": 10**9,
+                   "model_params_save_freq": 10**9,
+                   "basedir": "/tmp", "name": "r5lc2", "tag": "t"},
+    }
+    tr = TrainerA2C(env_wrapper=engine, config=cfg,
+                    policy_tag_to_agent_id_map=pmap, verbose=False)
+
+    def eval_now(tag, params=None):
+        if params is not None:
+            tr._carry = dict(tr._carry)
+            saved = tr._carry["params"]
+            tr._carry["params"] = params
+        r, st = tr.evaluate_episodes(use_argmax=True)
+        if params is not None:
+            tr._carry["params"] = saved
+        rec = {
+            "stage": tag, "mb": num_minibatches, "seed": seed,
+            "tagger_reward": round(float(r["tagger"].mean()), 3),
+            "runner_reward": round(float(r["runner"].mean()), 3),
+        }
+        log(rec)
+        return rec
+
+    # HOST copies: train() donates the carry, so device-buffer aliases
+    # of the initial params would be DELETED buffers after training
+    # (the first run of this script failed exactly there)
+    p0 = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), tr._carry["params"])
+    base = eval_now("baseline_all_initial")
+    t0 = time.time()
+    tr.train()
+    log({"stage": "trained", "mb": num_minibatches, "seed": seed,
+         "wall_s": round(time.time() - t0, 1), "env_steps": ITERS * E * T})
+    pT = tr._carry["params"]
+    self_ = eval_now("self_play")
+    tvf = eval_now("trained_tagger_vs_initial_runner",
+                   {"tagger": pT["tagger"], "runner": p0["runner"]})
+    rvf = eval_now("initial_tagger_vs_trained_runner",
+                   {"tagger": p0["tagger"], "runner": pT["runner"]})
+    arm = {
+        "stage": "arm_verdict", "mb": num_minibatches, "seed": seed,
+        "tagger_learned": bool(
+            tvf["tagger_reward"] > base["tagger_reward"]),
+        "runner_learned": bool(
+            rvf["tagger_reward"] < base["tagger_reward"]
+            and rvf["runner_reward"] > base["runner_reward"]),
+        "tagger_gain": round(
+            tvf["tagger_reward"] - base["tagger_reward"], 3),
+        "runner_gain": round(
+            rvf["runner_reward"] - base["runner_reward"], 3),
+    }
+    log(arm)
+    tr.graceful_close()
+    return arm
+
+
+arms = {}
+for mb in (400, 8):
+    for seed in (1, 2):
+        try:
+            arms[(mb, seed)] = run(mb, seed)
+        except Exception as e:
+            log({"stage": "error", "mb": mb, "seed": seed,
+                 "error": f"{type(e).__name__}: {str(e)[:300]}"})
+
+try:
+    def gains(mb, key):
+        return [arms[(mb, s)][key] for s in (1, 2) if (mb, s) in arms]
+
+    t400, t8 = gains(400, "tagger_gain"), gains(8, "tagger_gain")
+    r400, r8 = gains(400, "runner_gain"), gains(8, "runner_gain")
+    spread = max(max(t400) - min(t400), max(t8) - min(t8), 1e-9)
+    log({"stage": "verdict",
+         "all_arms_learn": bool(all(
+             a["tagger_learned"] and a["runner_learned"]
+             for a in arms.values())),
+         "tuned_tagger_gains": t400, "control_tagger_gains": t8,
+         "tuned_runner_gains": r400, "control_runner_gains": r8,
+         "tagger_gain_gap_vs_seed_spread": round(
+             abs(float(np.mean(t400)) - float(np.mean(t8))) / spread, 3)})
+except Exception as e:
+    log({"stage": "verdict_error", "error": str(e)[:300]})
+
+print("LEARNCHECK_FS2_DONE", flush=True)
