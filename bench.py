@@ -291,6 +291,18 @@ def main():
         print(f"[bench] fast-variant stage failed: {exc}",
               file=sys.stderr, flush=True)
 
+    # free the flagship systems' device buffers + compiled programs
+    # before the training stages (HBM pressure from earlier stages is a
+    # suspected contributor to cross-stage slowdowns)
+    try:
+        import gc
+
+        del sys_, sys_fast, env_stats, full_stats, fast_stats
+        gc.collect()
+        jax.clear_caches()
+    except Exception:
+        pass
+
     # training throughput: one fused A2C iteration (rollout scan + loss +
     # update) on TagGridWorld at benchmark scale — the reference's
     # "training" perf-stat dimension (trainer_base.py:863-879)
@@ -380,6 +392,14 @@ def main():
               file=sys.stderr, flush=True)
 
         ge_envs = 32000 if on_tpu else 16
+        # 2000-step scans: at >300M env-steps/s a 500-step scan is only
+        # ~45 ms of device compute, so the per-scan dispatch latency of
+        # the tunneled deployment (~20 ms when healthy, 100+ ms under
+        # tunnel load — the round-5 instability post-mortem, /tmp
+        # gw_check runs: the same program measured 34.7M / 136.7M /
+        # 245M across sessions at 500 steps, 366M at 2000) dominates
+        # the measurement.  Longer scans amortize it.
+        g_steps = 2000 if on_tpu else 20
         genv = TpuTagGridWorld(
             num_taggers=4, grid_length=20, episode_length=100, seed=7,
             use_full_observation=False,
@@ -403,7 +423,7 @@ def main():
             return gengine.auto_reset(state, k_reset), checksum
 
         g_stats = rollout_rate_stats(
-            g_env_step, (g_state, jnp.zeros(())), n_steps, ge_envs, key,
+            g_env_step, (g_state, jnp.zeros(())), g_steps, ge_envs, key,
             repeats=5 if on_tpu else 3,
         )
         g_rate = g_stats["value"]
@@ -440,7 +460,7 @@ def main():
         )
 
         c_envs = 100_000 if on_tpu else 1000
-        c_steps = 200 if on_tpu else 20
+        c_steps = 500 if on_tpu else 20  # amortize per-scan dispatch
         cenv = TpuClassicControlCartPoleEnv(episode_length=200, seed=5)
         cengine = EnvEngine(env_obj=cenv, num_envs=c_envs, seed=5)
         c_state = dict(cengine.state)
