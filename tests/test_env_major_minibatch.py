@@ -39,6 +39,9 @@ def _one_update_params(monkeypatch_env: bool, tmp_path):
         cfg["env"]["seed"] = 5
         cfg["policy"]["shared"]["num_minibatches"] = 4
         cfg["policy"]["shared"]["shuffle_minibatches"] = False
+        # pin the fast path ON regardless of the auto-size heuristic
+        # (the WD_NO_ENV_MAJOR escape still forces the control OFF)
+        cfg["policy"]["shared"]["env_major"] = True
         cfg["saving"] = {
             "metrics_log_freq": 10**9,
             "model_params_save_freq": 10**9,

@@ -59,6 +59,7 @@ class TrainerA2C(TrainerBase):
         self.ppo_num_minibatches = {}
         self.policy_remat = {}
         self.mb_shuffle = {}
+        self.env_major_cfg = {}
 
         # trainer.update_recompute_obs: on split-step envs, the rollout
         # records the compact PHYSICAL state per step instead of the
@@ -138,6 +139,15 @@ class TrainerA2C(TrainerBase):
             # (e.g. 500x400x100x256 f32 = 20 GB, an OOM on a 16 GB chip);
             # numerically exact, costs ~1 extra forward
             self.policy_remat[tag] = bool(policy_cfg.get("remat", False))
+            # env-major batch relayout: True / False / "auto" (default).
+            # "auto" enables it only for SMALL env-slices (<= 31 envs
+            # per minibatch): the one-time full-batch moveaxis then pays
+            # for itself in contiguous per-mb slices (flagship mb400 =
+            # 5 envs/mb: update 210 -> 178 ms), while at larger slices
+            # the transpose dominates (gridworld mb64 = 500 envs/mb:
+            # 26.2M -> 18.5M steps/s time-major vs env-major,
+            # /tmp/gw_envmajor_ab round-5 A/B).
+            self.env_major_cfg[tag] = policy_cfg.get("env_major", "auto")
             # shuffle_minibatches=False slices contiguous env blocks with
             # lax.dynamic_slice instead of a per-minibatch env-axis gather
             # (jnp.take) — gathers lower poorly on TPU. Env replicas are
@@ -552,6 +562,7 @@ class TrainerA2C(TrainerBase):
                     # and PPO behavior-log-prob alignment.
                     import os as _os
 
+                    _em_cfg = self.env_major_cfg.get(tag, "auto")
                     env_major = (
                         not shuffle and obs_b is not None
                         and old_lp is None and not mb_old_lp
@@ -559,6 +570,12 @@ class TrainerA2C(TrainerBase):
                         # along it would cross shard boundaries — keep
                         # the time-major path there
                         and getattr(self.engine, "mesh", None) is None
+                        # per-policy knob with a measured-size "auto"
+                        # default (see env_major_cfg in __init__)
+                        and (
+                            _em_cfg is True
+                            or (_em_cfg == "auto" and mb_size <= 31)
+                        )
                         # escape hatch for A/Bs and the parity test.
                         # BUILD-TIME ONLY: read once while tracing the
                         # update program — toggling the env var after
