@@ -56,7 +56,8 @@ FLAGSHIP_ENV_KWARGS = dict(
 
 def build_flagship(num_envs: int = 64, fc_dims=(256, 256), seed: int = 0,
                    knn_algorithm: str | None = None,
-                   knn_select: str | None = None):
+                   knn_select: str | None = None,
+                   model_dtype=None):
     """
     Build the flagship TagContinuous system.
 
@@ -125,7 +126,10 @@ def build_flagship(num_envs: int = 64, fc_dims=(256, 256), seed: int = 0,
     models = {}
     obs0 = np.asarray(engine.state[_OBS])
     for tag, ids in policy_ids.items():
-        models[tag] = FullyConnected(fc_dims=tuple(fc_dims), output_dims=tuple(heads))
+        models[tag] = FullyConnected(
+            fc_dims=tuple(fc_dims), output_dims=tuple(heads),
+            dtype=model_dtype,
+        )
         obs_p = obs0[:, ids].reshape(num_envs, len(ids), -1)
         rng, sub = jax.random.split(rng)
         params[tag] = models[tag].init(sub, jnp.asarray(obs_p[:1]))
