@@ -17,6 +17,12 @@ FROZEN INITIAL opponent —
 
 Both the bench-tuned arm (mb400) and the conservative control (mb8) run
 ~20 M env-steps x 2 seeds with identical everything else.
+
+fs3 revision: the fs2 run constructed the env without knn_algorithm and
+therefore trained on the "passes" obs path — selection-identical to the
+production kernel (both oracle-exact; the kernel adds ~4e-6 bf16-pair
+feature rounding), so the fs2 verdict stands, but this run closes the
+letter of the claim by passing the production kernel explicitly.
 """
 import json
 import sys
@@ -33,7 +39,7 @@ from warpdrive_tpu.envs.tag_continuous import TpuTagContinuous  # noqa: E402
 from warpdrive_tpu.presets import FLAGSHIP_ENV_KWARGS  # noqa: E402
 from warpdrive_tpu.training.trainer_a2c import TrainerA2C  # noqa: E402
 
-OUT = "/root/repo/artifacts/round5/r5_learncheck_fs2.jsonl"
+OUT = "/root/repo/artifacts/round5/r5_learncheck_fs3.jsonl"
 
 
 def log(rec):
@@ -46,7 +52,9 @@ E, T, ITERS = 2000, 100, 100  # 20M env-steps per arm
 
 
 def run(num_minibatches, seed):
-    env = TpuTagContinuous(**dict(FLAGSHIP_ENV_KWARGS, seed=274880))
+    env = TpuTagContinuous(**dict(FLAGSHIP_ENV_KWARGS, seed=274880,
+                                  knn_algorithm="pallas_flat_exact",
+                                  knn_block_envs=4))
     engine = EnvEngine(env_obj=env, num_envs=E, seed=31 + seed)
     pmap = {
         "tagger": [i for i in range(env.num_agents)
