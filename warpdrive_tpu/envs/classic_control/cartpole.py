@@ -146,6 +146,46 @@ class TpuClassicControlCartPoleEnv(ClassicControlCartPoleEnv, TpuEnvironmentCont
             pool.add_pool_for_reset("state_reset_pool", states, reset_target="state")
         return pool
 
+    def step_batch_fn(self, state: dict) -> dict:
+        """Lane-packed batched step (round 5): the same arithmetic as
+        ``step_fn`` on (E,)-sliced state variables — env axis on the TPU
+        lanes instead of the width-4 trailing state axis (see
+        ``EnvEngine`` step_batch_fn hook).  Bitwise identical per
+        element."""
+        s = state["state"]  # (E, 1, 4)
+        E = s.shape[0]
+        action = state[_ACTIONS].reshape(E)
+        t = state[Constants.TIMESTEP] + 1  # (E,)
+
+        force = jnp.where(action > 0.5, FORCE_MAG, -FORCE_MAG).astype(
+            jnp.float32
+        )
+        x, x_dot, theta, theta_dot = (
+            s[:, 0, 0], s[:, 0, 1], s[:, 0, 2], s[:, 0, 3]
+        )
+        x, x_dot, theta, theta_dot = _cartpole_dynamics(
+            x, x_dot, theta, theta_dot, force, jnp
+        )
+        new_s = jnp.stack([x, x_dot, theta, theta_dot], axis=1)[:, None, :]
+
+        terminated = (
+            (x < -X_THRESHOLD)
+            | (x > X_THRESHOLD)
+            | (theta < -THETA_THRESHOLD_RADIANS)
+            | (theta > THETA_THRESHOLD_RADIANS)
+        )
+        done = jnp.where(
+            (t >= self.episode_length) | terminated, 1, 0
+        ).astype(jnp.int32)
+
+        out = dict(state)
+        out["state"] = new_s.astype(jnp.float32)
+        out[_OBS] = new_s.astype(jnp.float32)
+        out[_REWARDS] = jnp.ones((E, 1), dtype=jnp.float32)
+        out[Constants.TIMESTEP] = t
+        out[Constants.DONE] = done
+        return out
+
     def step_fn(self, state: dict) -> dict:
         s = state["state"]  # (1, 4) float32
         action = state[_ACTIONS][0, 0]

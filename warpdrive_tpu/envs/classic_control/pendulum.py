@@ -137,6 +137,42 @@ class TpuClassicControlPendulumEnv(
             pool.add_pool_for_reset("state_reset_pool", states, reset_target="state")
         return pool
 
+    def step_batch_fn(self, state: dict) -> dict:
+        """Lane-packed batched step (round 5): the same arithmetic as
+        ``step_fn`` on (E,)-sliced state variables, so the env axis rides
+        the TPU lanes instead of the width-1 agent axis (the vmapped
+        per-replica step ran the fused trig chain at 1/128 lane
+        utilization — see ``EnvEngine`` step_batch_fn hook).  Bitwise
+        identical per element (same ops, same order)."""
+        s = state["state"]  # (E, 1, 2)
+        E = s.shape[0]
+        action = state[_ACTIONS].reshape(E).astype(jnp.float32)
+        t = state[Constants.TIMESTEP] + 1  # (E,)
+
+        u = jnp.clip(action, -MAX_TORQUE, MAX_TORQUE)
+        th = s[:, 0, 0]
+        thdot = s[:, 0, 1]
+        costs = _angle_normalize(th, jnp) ** 2 + 0.1 * thdot**2 + 0.001 * u**2
+        newthdot = thdot + (
+            3 * G / (2 * L) * jnp.sin(th) + 3.0 / (M * L**2) * u
+        ) * DT
+        newthdot = jnp.clip(newthdot, -MAX_SPEED, MAX_SPEED)
+        newth = th + newthdot * DT
+        new_s = jnp.stack([newth, newthdot], axis=1)[:, None, :]
+
+        obs = jnp.stack(
+            [jnp.cos(newth), jnp.sin(newth), newthdot], axis=1
+        )[:, None, :]
+        done = jnp.where(t >= self.episode_length, 1, 0).astype(jnp.int32)
+
+        out = dict(state)
+        out["state"] = new_s.astype(jnp.float32)
+        out[_OBS] = obs.astype(jnp.float32)
+        out[_REWARDS] = (-costs)[:, None].astype(jnp.float32)
+        out[Constants.TIMESTEP] = t
+        out[Constants.DONE] = done
+        return out
+
     def step_fn(self, state: dict) -> dict:
         s = state["state"]
         action = state[_ACTIONS][0, 0].astype(jnp.float32)

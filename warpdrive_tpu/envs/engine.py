@@ -276,6 +276,27 @@ class EnvEngine:
         self.step = step
         self._jit_step = jax.jit(step)
 
+        # --- batched-step override (round 5): an env may provide
+        # ``step_batch_fn(state) -> state`` operating on the full (E, ...)
+        # batch directly.  Motivation is TPU memory layout: per-agent
+        # state arrays are (E, n_agents, ...) and the trailing agent axis
+        # becomes the LANE axis — a single-agent env therefore runs every
+        # elementwise physics op at 1/128 lane utilization under the
+        # vmapped per-replica step (measured: the Pendulum rollout's
+        # fused trig chain at 11 GB/s, ~1/64 of VPU-practical, round-5
+        # DDPG trace).  A batched step can slice state variables to (E,)
+        # vectors (env axis on lanes) and run the same arithmetic at full
+        # width — bitwise identical per element, layout-only.
+        step_batch = getattr(self.env, "step_batch_fn", None)
+        if step_batch is not None:
+            def step_batched_direct(state: dict, actions=None) -> dict:
+                if actions is not None:
+                    state = write_actions(state, actions)
+                return step_batch(dict(state))
+
+            self.step = step_batched_direct
+            self._jit_step = jax.jit(step_batched_direct)
+
         # --- split-step fast path (see TpuEnvironmentContext): physics and
         # observation as separate vmapped pure functions, so trainers can
         # carry only the physical state and let XLA fuse the observation
