@@ -24,6 +24,9 @@ def _register():
     [
         ("ClassicControlPendulumEnv", None),  # continuous torque
         ("ClassicControlCartPoleEnv", 2),
+        ("ClassicControlMountainCarEnv", 3),
+        ("ClassicControlContinuousMountainCarEnv", None),
+        ("ClassicControlAcrobotEnv", 3),
     ],
 )
 def test_batched_step_bitwise_matches_vmapped(env_name, n_actions):

@@ -196,6 +196,40 @@ class TpuClassicControlAcrobotEnv(ClassicControlAcrobotEnv, TpuEnvironmentContex
             pool.add_pool_for_reset("state_reset_pool", states, reset_target="state")
         return pool
 
+    def step_batch_fn(self, state: dict) -> dict:
+        """Lane-packed batched step (round 5): the ODE helpers are
+        component-indexed and elementwise, so they run unchanged on a
+        (4, E) state — env axis on the TPU lanes through the whole RK4
+        trig chain (see EnvEngine step_batch_fn hook).  Bitwise
+        identical to the vmapped per-replica step."""
+        s = state["state"]  # (E, 1, 4)
+        E = s.shape[0]
+        action = state[_ACTIONS].reshape(E)
+        t = state[Constants.TIMESTEP] + 1  # (E,)
+
+        torque = (action - 1).astype(jnp.float32)  # (E,)
+        sT = jnp.transpose(s[:, 0, :], (1, 0))  # (4, E)
+        new_sT = _integrate(sT, torque, jnp)  # (4, E)
+        terminated = (
+            -jnp.cos(new_sT[0]) - jnp.cos(new_sT[1] + new_sT[0])
+        ) > 1.0
+
+        obs = jnp.transpose(_observation(new_sT, jnp), (1, 0))[:, None, :]
+        rew = jnp.where(terminated, 0.0, -1.0)[:, None].astype(jnp.float32)
+        done = jnp.where(
+            (t >= self.episode_length) | terminated, 1, 0
+        ).astype(jnp.int32)
+
+        out = dict(state)
+        out["state"] = jnp.transpose(new_sT, (1, 0))[:, None, :].astype(
+            jnp.float32
+        )
+        out[_OBS] = obs.astype(jnp.float32)
+        out[_REWARDS] = rew
+        out[Constants.TIMESTEP] = t
+        out[Constants.DONE] = done
+        return out
+
     def step_fn(self, state: dict) -> dict:
         s = state["state"][0]  # (4,)
         action = state[_ACTIONS][0, 0]

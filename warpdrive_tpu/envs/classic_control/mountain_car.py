@@ -122,6 +122,41 @@ class TpuClassicControlMountainCarEnv(
             pool.add_pool_for_reset("state_reset_pool", states, reset_target="state")
         return pool
 
+    def step_batch_fn(self, state: dict) -> dict:
+        """Lane-packed batched step (round 5): same arithmetic as
+        ``step_fn`` on (E,)-sliced state variables — env axis on the TPU
+        lanes (see EnvEngine step_batch_fn hook).  Bitwise identical."""
+        s = state["state"]  # (E, 1, 2)
+        E = s.shape[0]
+        action = state[_ACTIONS].reshape(E).astype(jnp.float32)
+        t = state[Constants.TIMESTEP] + 1  # (E,)
+
+        position, velocity = s[:, 0, 0], s[:, 0, 1]
+        velocity = velocity + (action - 1.0) * FORCE + jnp.cos(3.0 * position) * (
+            -GRAVITY
+        )
+        velocity = jnp.clip(velocity, -MAX_SPEED, MAX_SPEED)
+        position = jnp.clip(position + velocity, MIN_POSITION, MAX_POSITION)
+        velocity = jnp.where(
+            (position == MIN_POSITION) & (velocity < 0), 0.0, velocity
+        )
+        new_s = jnp.stack([position, velocity], axis=1)[:, None, :]
+
+        terminated = (position >= GOAL_POSITION) & (velocity >= GOAL_VELOCITY)
+        done = jnp.where(
+            t >= self.episode_length,
+            1,
+            jnp.where(terminated, 2, 0),
+        ).astype(jnp.int32)
+
+        out = dict(state)
+        out["state"] = new_s.astype(jnp.float32)
+        out[_OBS] = new_s.astype(jnp.float32)
+        out[_REWARDS] = -jnp.ones((E, 1), dtype=jnp.float32)
+        out[Constants.TIMESTEP] = t
+        out[Constants.DONE] = done
+        return out
+
     def step_fn(self, state: dict) -> dict:
         s = state["state"]
         action = state[_ACTIONS][0, 0].astype(jnp.float32)
