@@ -127,6 +127,30 @@ def _emit_error(stage: str, exc: Exception):
     )
 
 
+def _device_probe_ok(timeout_s: float) -> bool:
+    """Claim-wedge guard (round 5): a wedged tunnel claim makes
+    ``jax.devices()`` BLOCK forever (it does not raise), which would
+    hang the whole bench until an external kill and leave an EMPTY
+    result file.  Probe the claim in a SUBPROCESS with a timeout; on
+    timeout the caller falls back to CPU so every stage still emits a
+    parseable (clearly cpu-labeled) line.  The probe's claim is
+    released when it exits; round-4/5 kill history shows claim-phase
+    kills are clean."""
+    import subprocess
+
+    code = "import jax; print(jax.devices()[0].platform, flush=True)"
+    try:
+        res = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+        return res.returncode == 0 and res.stdout.strip() != ""
+    except subprocess.TimeoutExpired:
+        return False
+    except Exception:
+        return False
+
+
 def main():
     import os
 
@@ -135,6 +159,19 @@ def main():
     if forced:
         os.environ["JAX_PLATFORMS"] = forced
         jax.config.update("jax_platforms", forced)
+    elif os.environ.get("BENCH_NO_PROBE", "") != "1":
+        timeout_s = float(os.environ.get("BENCH_PROBE_TIMEOUT", "180"))
+        print("[bench] probing device claim (subprocess, "
+              f"{timeout_s:.0f}s timeout)...", file=sys.stderr, flush=True)
+        if not _device_probe_ok(timeout_s):
+            print(
+                "[bench] device claim probe timed out/failed (wedged "
+                "tunnel claim?) — falling back to CPU so the bench "
+                "still emits parseable lines",
+                file=sys.stderr, flush=True,
+            )
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            jax.config.update("jax_platforms", "cpu")
 
     from warpdrive_tpu.presets import build_flagship
     # shared by several independent stages — imported here so one stage's
