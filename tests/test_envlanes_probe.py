@@ -64,9 +64,10 @@ def test_probe_child_script_passes_on_cpu(tmp_path, monkeypatch):
     a TPU-Mosaic property).  This also guards the child script against
     bit-rot."""
     monkeypatch.setenv(ep._CACHE_ENV, str(tmp_path))
-    # force the child onto the CPU backend regardless of the host env
-    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
-    ok = ep.probe(timeout=240.0, force=True)
+    # hermetic CPU child: JAX_PLATFORMS=cpu alone is NOT enough — the
+    # TPU deployment's sitecustomize imports jax at interpreter start
+    # and blocked the child on the wedged device claim (round 5)
+    ok = ep.probe(timeout=240.0, force=True, env=ep.cpu_child_env())
     assert ok is True
     assert ep.cached_verdict() is True
 

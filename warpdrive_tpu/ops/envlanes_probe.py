@@ -87,46 +87,70 @@ def _write_verdict(key: str, ok: bool, detail: str) -> None:
         json.dump(data, f, indent=1, sort_keys=True)
 
 
-# The child script: a minimal kernel of the wedge class — a (8, SUB, LANE)
-# block whose body reduces over the MIDDLE (sublane) axis with a
-# non-trivial leading dim, exactly the reduction shape the r4 bisection
-# isolated (r4_envlanes_wedge.md probes v8a..n).  The value FETCH is the
-# execution proof (CLAUDE.md rule 7): on a wedged toolchain the fetch
-# hangs and the parent's timeout kills us.
+# The child script runs the REAL v8 envlanes kernel (tiny shapes) in
+# compiled mode and bit-compares it against its own interpret-mode
+# output.  An earlier draft probed a GENERIC (8, 16, 128) middle-axis
+# reduction instead — and accidental TPU executions of it PASSED while
+# the actual v8 kernel wedges: the wedge class is narrower than "any
+# sublane reduction with a leading dim" (knn_obs.py's own v9 n_valid
+# count is one too, and runs fine).  Only the kernel itself is an
+# honest capability probe.  The value FETCH is the execution proof
+# (CLAUDE.md rule 7): on a wedged toolchain the fetch hangs and the
+# parent's timeout kills the child.  WD_PROBE_INTERPRET=1 makes the
+# "compiled" call interpret too (the CPU bit-rot test: compiled-mode
+# pallas_call is unsupported on the CPU backend).
 _CHILD = r"""
+import os
 import numpy as np
 import jax, jax.numpy as jnp
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
+from warpdrive_tpu.ops.knn_obs import _knn_observation_envlanes
 
-def kernel(x_ref, o_ref):
-    x = x_ref[:]                      # (8, 16, 128)
-    s = jnp.sum(x, axis=1, keepdims=True)   # middle-axis (sublane) reduce
-    m = jnp.min(x, axis=1, keepdims=True)
-    o_ref[:] = jnp.broadcast_to(s + m, o_ref.shape)
-
-x = jnp.asarray(np.random.RandomState(0).rand(8, 16, 128), jnp.float32)
-out = pl.pallas_call(
-    kernel,
-    in_specs=[pl.BlockSpec((8, 16, 128), lambda: (0, 0, 0),
-                           memory_space=pltpu.VMEM)],
-    out_specs=pl.BlockSpec((8, 16, 128), lambda: (0, 0, 0),
-                           memory_space=pltpu.VMEM),
-    out_shape=jax.ShapeDtypeStruct((8, 16, 128), jnp.float32),
-)(x)
-got = np.asarray(out)                  # host fetch = realization proof
-want = (np.asarray(x).sum(1, keepdims=True)
-        + np.asarray(x).min(1, keepdims=True))
-assert np.allclose(got, np.broadcast_to(want, got.shape), atol=1e-4), \
-    "probe kernel produced wrong values"
+interp = os.environ.get("WD_PROBE_INTERPRET") == "1"
+rng = np.random.RandomState(0)
+E, N, k = 4, 12, 3
+args = (
+    jnp.asarray(rng.rand(E, N), jnp.float32),
+    jnp.asarray(rng.rand(E, N), jnp.float32),
+    jnp.asarray(rng.rand(E, 5, N), jnp.float32),
+    jnp.asarray(rng.randint(0, 2, N), jnp.float32),
+    jnp.ones((E, N), jnp.float32),
+    jnp.zeros((E,), jnp.float32),
+)
+kw = dict(n_agents=N, k=k, variant="envlanes_exact", raw_out=False)
+ref = np.asarray(_knn_observation_envlanes(*args, interpret=True, **kw))
+out = np.asarray(
+    _knn_observation_envlanes(*args, interpret=interp, **kw)
+)  # the host fetch is the realization proof
+assert np.array_equal(out, ref), "envlanes kernel output mismatch"
 print("ENVLANES_PROBE_OK", flush=True)
 """
 
 
-def probe(timeout: float = 300.0, force: bool = False) -> bool:
+def _repo_pythonpath(env: dict) -> dict:
+    """Make sure the child can import warpdrive_tpu (running `python -c`
+    puts the child's CWD, not the repo root, on sys.path)."""
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    parts = [repo_root] + [
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and p != repo_root
+    ]
+    env["PYTHONPATH"] = os.pathsep.join(parts)
+    return env
+
+
+def probe(timeout: float = 300.0, force: bool = False,
+          env: dict | None = None) -> bool:
     """Run the wedge-class probe in a subprocess (requires the chip to be
     FREE — do not call while another process holds the TPU claim).
-    Returns the verdict and caches it for :func:`cached_verdict`."""
+    Returns the verdict and caches it for :func:`cached_verdict`.
+
+    ``env`` overrides the child's environment.  Callers that want a
+    CPU-only probe (tests) must pass :func:`cpu_child_env`: the TPU
+    deployment's sitecustomize imports jax at interpreter start and can
+    BLOCK the child on the device claim before JAX_PLATFORMS is even
+    consulted (observed during the round-5 claim wedge)."""
     key = toolchain_key()
     if not force:
         hit = cached_verdict(key)
@@ -138,6 +162,8 @@ def probe(timeout: float = 300.0, force: bool = False) -> bool:
             capture_output=True,
             text=True,
             timeout=timeout,
+            env=_repo_pythonpath(dict(env if env is not None
+                                      else os.environ)),
         )
         ok = res.returncode == 0 and "ENVLANES_PROBE_OK" in res.stdout
         detail = (
@@ -155,6 +181,22 @@ def probe(timeout: float = 300.0, force: bool = False) -> bool:
         )
     _write_verdict(key, ok, detail)
     return ok
+
+
+def cpu_child_env() -> dict:
+    """A child environment that really runs on CPU: JAX_PLATFORMS=cpu
+    AND the TPU-plugin sitecustomize stripped from PYTHONPATH (it
+    imports jax at interpreter start and can block on the device
+    claim regardless of JAX_PLATFORMS)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["WD_PROBE_INTERPRET"] = "1"  # compiled pallas is TPU-only
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon" not in p
+    )
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    return env
 
 
 def main() -> None:
