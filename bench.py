@@ -198,13 +198,15 @@ def main():
             _emit_error("device_init_cpu_fallback", exc2)
             sys.exit(1)
     on_tpu = platform == "tpu"
-    # 1000 replicas (the BASELINE.json "1000+ replicas" floor): the
-    # round-5 E-sweep of the v9 EXACT flat kernel at its B=4 optimum
-    # (artifacts/round5/r5_ab5/ab6) peaks at E=1000 — 1203K vs 1134K
-    # @2000, 974K @4000 env-steps/s (5-repeat medians, spread <1%).
+    # 1024 replicas (>= the BASELINE.json "1000+ replicas" floor): the
+    # round-5 continuation sweep (artifacts/round5/r5_ab12/ab13, both
+    # build orders, 5-repeat medians, non-overlapping ranges) found the
+    # power-of-two count beats E=1000 on BOTH flagship stages — exact
+    # env-only 1473K vs 1436K (+2.6%) and full loop 1054K vs 1001K
+    # (+5.4%); E=2000 (1007K full loop) and E=4000 (956K) regress.
     # Known hazard: E=1500 is pathologically slow (732K, reproducible,
-    # r5_ab6) — keep env counts at powers of two times 1000.
-    num_envs = 1000 if on_tpu else 32
+    # r5_ab6) — keep env counts at powers of two (times 1000 or 1024).
+    num_envs = 1024 if on_tpu else 32
     n_steps = 500 if on_tpu else 20
 
     try:
@@ -274,6 +276,7 @@ def main():
                     "vs_baseline": round(
                         full_stats["value"] / BASELINE_ENV_STEPS_PER_S, 4
                     ),
+                    "num_envs": num_envs,
                     "platform": platform,
                 }
             ),
