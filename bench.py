@@ -431,7 +431,13 @@ def main():
         print("[bench] compiling + timing TagGridWorld env-only rollout...",
               file=sys.stderr, flush=True)
 
-        ge_envs = 32000 if on_tpu else 16
+        # 32768 (= 2^15, "32K"): lane-aligned power of two — won both
+        # build orders of the r5_ab14/ab14b A/B (362.6 vs 334.2 M and
+        # 376.7 vs 373.8 M; the delta is small because 32000 envs x 5
+        # agents = 160000 rows is already /128-aligned via the agent
+        # axis).  The TRAINING stage stays at 32000/mb64 — that exact
+        # geometry is learning-validated (r5_learncheck_gridworld).
+        ge_envs = 32768 if on_tpu else 16
         # 2000-step scans: at >300M env-steps/s a 500-step scan is only
         # ~45 ms of device compute, so the per-scan dispatch latency of
         # the tunneled deployment (~20 ms when healthy, 100+ ms under
@@ -499,7 +505,13 @@ def main():
             TpuClassicControlCartPoleEnv,
         )
 
-        c_envs = 100_000 if on_tpu else 1000
+        # 131072 (= 2^17, >= the reference's "100k concurrent" claim):
+        # 100000/128 = 781.25 leaves a ragged trailing lane tile; the
+        # lane-aligned count won BOTH build orders of r5_ab14/ab14b
+        # (373.4 vs 339.8 M and 395.9 vs 348.3 M, +10-14%).  The metric
+        # name keeps its historical "100k" identity; num_envs records
+        # the actual count.
+        c_envs = 131_072 if on_tpu else 1000
         c_steps = 500 if on_tpu else 20  # amortize per-scan dispatch
         cenv = TpuClassicControlCartPoleEnv(episode_length=200, seed=5)
         cengine = EnvEngine(env_obj=cenv, num_envs=c_envs, seed=5)
